@@ -1,0 +1,100 @@
+"""Volume rendering: transmittance weights and alpha compositing.
+
+Capability parity (behavior, not code) with:
+  - transmittance weights: /root/reference/nerf/nerf_base.py:79-86
+    (getNormedWeight) and /root/reference/nerf/addtional.py:99-107
+    (ProposalNetwork.get_weights, which additionally scales depth by ||d||)
+  - composite + extras:    /root/reference/nerf/nerf_base.py:90-113 (render)
+  - ray lengths -> points: /root/reference/nerf/nerf_base.py:52-56
+
+Numerics: the composite is kept in float32 regardless of the model compute
+dtype — exp(-sigma * delta) with the 1e10 far-plane sentinel and the cumprod
+chain are the parts of this pipeline that do not survive bf16
+(SURVEY.md section 7 "hard parts").
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+FAR_DELTA = 1e10  # open-ended final interval sentinel (nerf_base.py:81)
+
+
+def lengths_to_points(rays: jnp.ndarray, zvals: jnp.ndarray) -> jnp.ndarray:
+    """rays (R, 6), zvals (R, P) -> points (R, P, 3). Parity nerf_base.py:52-56
+    (the reference also concatenates the per-ray direction; models here take
+    positions and directions as separate arguments instead)."""
+    return rays[..., None, :3] + rays[..., None, 3:] * zvals[..., :, None]
+
+
+def transmittance_weights(density: jnp.ndarray, zvals: jnp.ndarray,
+                          ray_dirs: Optional[jnp.ndarray] = None,
+                          density_act=jax.nn.relu) -> jnp.ndarray:
+    """alpha-compositing weights w_i = alpha_i * prod_{j<i} (1 - alpha_j).
+
+    density: (R, P) raw density (activated here via ``density_act``);
+    zvals: (R, P); if ``ray_dirs`` is given, depths are scaled by ||d||
+    (addtional.py:99-101). Matches nerf_base.py:79-86 including the 1e-10
+    cumprod epsilon and the 1e10 final delta.
+
+    Computed in float32; the cumprod is expressed as exp(cumsum(log)) — on
+    TPU a log-space cumulative sum fuses better than cumprod and is
+    numerically identical at these magnitudes (mult >= 1e-10 guarantees the
+    log is finite).
+    """
+    density = density.astype(jnp.float32)
+    zvals = zvals.astype(jnp.float32)
+    if ray_dirs is not None:
+        zvals = zvals * jnp.linalg.norm(ray_dirs, axis=-1, keepdims=True)
+    delta = jnp.concatenate(
+        [zvals[..., 1:] - zvals[..., :-1],
+         jnp.full((*zvals.shape[:-1], 1), FAR_DELTA, jnp.float32)],
+        axis=-1,
+    )
+    mult = jnp.exp(-density_act(density) * delta)
+    alpha = 1.0 - mult
+    log_t = jnp.cumsum(jnp.log(mult + 1e-10), axis=-1)
+    trans = jnp.concatenate(
+        [jnp.ones((*zvals.shape[:-1], 1), jnp.float32), jnp.exp(log_t[..., :-1])],
+        axis=-1,
+    )
+    return alpha * trans
+
+
+def composite(rgb: jnp.ndarray, density: jnp.ndarray, zvals: jnp.ndarray,
+              ray_dirs: jnp.ndarray, mul_norm: bool = True,
+              white_bkg: bool = False, density_act=jax.nn.relu,
+              depth_bounds: Optional[Tuple[float, float]] = None,
+              normal_info: Optional[Tuple] = None):
+    """Alpha-composite per-sample radiance into per-ray RGB.
+
+    rgb: (R, P, 3); density: (R, P); zvals: (R, P); ray_dirs: (R, 3).
+    Returns (rgb_out (R, 3), weights (R, P), extras dict).  Behavior parity:
+    nerf_base.py:90-113 — white-background completion, normalized depth map,
+    and camera-axis normal map extras.
+    """
+    zv = zvals.astype(jnp.float32)
+    if mul_norm:
+        zv = zv * jnp.linalg.norm(ray_dirs.astype(jnp.float32), axis=-1, keepdims=True)
+    weights = transmittance_weights(density, zv, ray_dirs=None, density_act=density_act)
+    rgb_out = jnp.sum(weights[..., None] * rgb.astype(jnp.float32), axis=-2)
+    if white_bkg:
+        acc = jnp.sum(weights, axis=-1)
+        rgb_out = rgb_out + (1.0 - acc[..., None])
+    extras = {}
+    if depth_bounds is not None:
+        near, far = depth_bounds
+        extras["depth"] = (jnp.sum(weights * zv, axis=-1) - near) / (far - near)
+    if normal_info is not None:
+        normal, cam_dir = normal_info  # (R, P, 3), (3,)
+        proj = jnp.sum(normal * cam_dir[None, None, :], axis=-1)
+        extras["normal"] = (jnp.sum(weights * proj, axis=-1) + 1.0) * 0.5
+    return rgb_out, weights, extras
+
+
+def mse_to_psnr(mse: jnp.ndarray) -> jnp.ndarray:
+    """PSNR from MSE (addtional.py:45-51 parity)."""
+    return -10.0 * jnp.log(mse) / jnp.log(10.0)

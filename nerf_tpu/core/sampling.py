@@ -1,0 +1,209 @@
+"""Depth sampling: stratified, inverse-CDF importance, coarse/fine merge.
+
+Capability parity (behavior, not code) with:
+  - stratified coarse samples:  /root/reference/nerf/utils.py:87-90
+  - inverse-CDF sample_pdf:     /root/reference/nerf/utils.py:108-133
+  - inverseSample wrapper:      /root/reference/nerf/utils.py:34-44
+  - max-blur filter:            /root/reference/nerf/mip_methods.py:61-66
+  - proposal bound gather:      /root/reference/nerf/addtional.py:14-18
+  - coarse/fine z merge:        /root/reference/nerf/nerf_base.py:58-73
+
+TPU-first design notes:
+  * ``searchsorted`` is replaced by a vectorized comparison-count
+    (sum over the bin axis of ``cdf <= u``): for the small static bin counts
+    of this workload (<= 64 bins) a dense O(N*M) compare on the VPU fuses into
+    neighbors and beats a gather-heavy binary search.
+  * All shapes are static; sample counts are compile-time constants.
+  * Randomness is explicit (jax PRNG keys); distributions match the reference
+    (iid uniforms for the CDF inversion, per-interval jitter for stratified),
+    not its global-RNG streams.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def stratified_samples(key, n_rays: int, n_samples: int, near: float, far: float):
+    """Jittered lengths in [near, far): linspace(near, far-res) + U(0,res).
+
+    Parity: utils.py:87-90 (one sample per interval, interval width res).
+    Returns (n_rays, n_samples) float32.
+    """
+    res = (far - near) / n_samples
+    base = jnp.linspace(near, far - res, n_samples, dtype=jnp.float32)
+    jitter = jax.random.uniform(key, (n_rays, n_samples), dtype=jnp.float32)
+    return base[None, :] + jitter * res
+
+
+def count_le(sorted_vals: jnp.ndarray, queries: jnp.ndarray) -> jnp.ndarray:
+    """#{m : sorted_vals[..., m] <= q} per query == searchsorted(..., right=True).
+
+    sorted_vals: (..., M), queries: (..., N) -> int32 (..., N).
+    Dense compare-and-sum; MXU/VPU friendly for small static M.
+    """
+    le = sorted_vals[..., None, :] <= queries[..., :, None]
+    return jnp.sum(le.astype(jnp.int32), axis=-1)
+
+
+def count_lt(sorted_vals: jnp.ndarray, queries: jnp.ndarray) -> jnp.ndarray:
+    """#{m : sorted_vals[..., m] < q} == searchsorted(..., side='left')."""
+    lt = sorted_vals[..., None, :] < queries[..., :, None]
+    return jnp.sum(lt.astype(jnp.int32), axis=-1)
+
+
+def sample_pdf(key, bins: jnp.ndarray, weights: jnp.ndarray, n_samples: int,
+               u: jnp.ndarray | None = None):
+    """Inverse-transform sampling of the piecewise-constant PDF over bins.
+
+    bins: (..., M) sorted bin edges; weights: (..., M-1) unnormalized.
+    Returns (samples, below, above): samples (..., n_samples) and the lower /
+    upper CDF indices of the interval each sample landed in.
+    Behavior parity: utils.py:108-133 (incl. the 1e-5 weight floor and the
+    denom < 1e-5 guard).  ``u`` overrides the drawn uniforms (testing).
+    """
+    w = weights + 1e-5
+    pdf = w / jnp.sum(w, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)  # (..., M)
+
+    if u is None:
+        u = jax.random.uniform(key, (*cdf.shape[:-1], n_samples), dtype=cdf.dtype)
+    inds = count_le(cdf, u)  # right=True searchsorted
+    below = jnp.maximum(0, inds - 1)
+    above = jnp.minimum(cdf.shape[-1] - 1, inds)
+
+    cdf_b = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_a = jnp.take_along_axis(cdf, above, axis=-1)
+    bins_b = jnp.take_along_axis(bins, below, axis=-1)
+    bins_a = jnp.take_along_axis(bins, above, axis=-1)
+
+    denom = cdf_a - cdf_b
+    denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)
+    t = (u - cdf_b) / denom
+    samples = bins_b + t * (bins_a - bins_b)
+    return samples, below, above
+
+
+def inverse_sample(key, weights: jnp.ndarray, coarse_depth: jnp.ndarray,
+                   n_samples: int, sort: bool = False):
+    """Importance-sample fine depths from proposal weights.
+
+    weights: (R, P) proposal weights (gradients are stopped, matching the
+    reference's .detach() at utils.py:35-36); coarse_depth: (R, P).
+    Uses midpoints as bins and the interior weights [1:-1], parity with
+    utils.py:37-39.  With sort=True returns (sorted_samples, sorted_below_idx).
+    """
+    weights = jax.lax.stop_gradient(weights)
+    z_mid = 0.5 * (coarse_depth[..., 1:] + coarse_depth[..., :-1])
+    samples, below, _ = sample_pdf(key, z_mid, weights[..., 1:-1], n_samples)
+    if not sort:
+        return samples
+    order = jnp.argsort(samples, axis=-1)
+    z_sorted = jnp.take_along_axis(samples, order, axis=-1)
+    below_sorted = jnp.take_along_axis(below, order, axis=-1)
+    return z_sorted, below_sorted
+
+
+def max_blur_filter(weights: jnp.ndarray, alpha: float) -> jnp.ndarray:
+    """2-tap max then 2-tap blur + alpha padding (mip-360 proposal filter).
+
+    Parity: mip_methods.py:61-66; live in both train and eval paths of the
+    reference (train.py:171, procedures.py:69).
+    """
+    maxi = jnp.maximum(weights[..., :-1], weights[..., 1:])
+    front = jnp.concatenate([weights[..., :1], maxi], axis=-1)
+    rear = jnp.concatenate([maxi, weights[..., -1:]], axis=-1)
+    return 0.5 * (front + rear) + alpha
+
+
+def weight_bounds(prop_weights: jnp.ndarray, below_idx: jnp.ndarray) -> jnp.ndarray:
+    """Proposal-weight mass over each fine-sample index interval.
+
+    prop_weights: (R, P); below_idx: (R, K) sorted lower indices from
+    inverse sampling.  bounds[:, k] = sum(prop_weights[start_k : end_k]) with
+    starts = below_idx[:, :-1], ends = below_idx[:, 1:] + 1, via a cumulative
+    sum gather.  Parity: addtional.py:14-18 (getBounds).
+    """
+    r = prop_weights.shape[0]
+    starts = below_idx[..., :-1]
+    ends = below_idx[..., 1:] + 1
+    sat = jnp.concatenate(
+        [jnp.zeros((r, 1), prop_weights.dtype), jnp.cumsum(prop_weights, axis=-1)],
+        axis=-1,
+    )
+    return jnp.take_along_axis(sat, ends, axis=-1) - jnp.take_along_axis(sat, starts, axis=-1)
+
+
+def merge_coarse_fine(c_z: jnp.ndarray, f_z: jnp.ndarray, f_idx=None):
+    """Merge sorted coarse + fine depths, dropping the largest element.
+
+    Returns (z_merged (R, C+F-1), src_index (R, C+F-1), coarse_pos (R, C)):
+      * ``src_index``: for each merged slot, the index into cat(fine, coarse)
+        it came from (the reference's sort_inds, nerf_base.py:60).
+      * ``coarse_pos``: position of coarse sample j in the merged array
+        (C+F-1 marks the dropped element — always the largest coarse sample).
+    If ``f_idx`` (R, F) is given (the fine samples' ``below`` bookkeeping),
+    also returns ``idx_merged`` (R, C+F): cat(f_idx, arange(C)) in merged
+    order *without* the final truncation, matching nerf_base.py:61-65 where
+    all_inds keeps the full length for getBounds.
+
+    TPU-first: both inputs are already sorted, so instead of sorting the
+    concatenation (reference nerf_base.py:59-60) we compute merge ranks with
+    two comparison-counts and materialize the permutation with one scatter —
+    O(C*F) compares, no O(n log^2 n) sorting network.  Stability matches
+    torch.sort: on ties, fine entries (lower cat index) come first.
+    """
+    r, nc = c_z.shape
+    nf = f_z.shape[-1]
+    n = nc + nf
+
+    rank_f = jnp.arange(nf, dtype=jnp.int32)[None, :] + count_lt(c_z, f_z)
+    rank_c = jnp.arange(nc, dtype=jnp.int32)[None, :] + count_le(f_z, c_z)
+
+    rows = jnp.arange(r, dtype=jnp.int32)[:, None]
+    z_full = jnp.zeros((r, n), c_z.dtype)
+    z_full = z_full.at[rows, rank_f].set(f_z)
+    z_full = z_full.at[rows, rank_c].set(c_z)
+
+    src = jnp.zeros((r, n), jnp.int32)
+    src = src.at[rows, rank_f].set(jnp.broadcast_to(jnp.arange(nf, dtype=jnp.int32), (r, nf)))
+    src = src.at[rows, rank_c].set(
+        jnp.broadcast_to(jnp.arange(nf, nf + nc, dtype=jnp.int32), (r, nc))
+    )
+
+    z_merged = z_full[..., :-1]
+    src_index = src[..., :-1]
+    coarse_pos = rank_c
+
+    if f_idx is None:
+        return z_merged, src_index, coarse_pos
+
+    idx_full = jnp.zeros((r, n), f_idx.dtype)
+    idx_full = idx_full.at[rows, rank_f].set(f_idx)
+    idx_full = idx_full.at[rows, rank_c].set(
+        jnp.broadcast_to(jnp.arange(nc, dtype=f_idx.dtype), (r, nc))
+    )
+    return z_merged, src_index, coarse_pos, idx_full
+
+
+def merge_coarse_fine_via_sort(c_z, f_z, f_idx=None):
+    """Reference-faithful merge via full sort (test oracle for the rank merge).
+
+    Mirrors nerf_base.py:58-73: zvals = sort(cat(fine, coarse)); gathers the
+    index bookkeeping through the sort permutation; truncates the last slot.
+    """
+    r, nc = c_z.shape
+    nf = f_z.shape[-1]
+    z_cat = jnp.concatenate([f_z, c_z], axis=-1)
+    order = jnp.argsort(z_cat, axis=-1, stable=True)
+    z_sorted = jnp.take_along_axis(z_cat, order, axis=-1)
+    z_merged = z_sorted[..., :-1]
+    src_index = order[..., :-1].astype(jnp.int32)
+    if f_idx is None:
+        return z_merged, src_index
+    c_iota = jnp.broadcast_to(jnp.arange(nc, dtype=f_idx.dtype), (r, nc))
+    idx_cat = jnp.concatenate([f_idx, c_iota], axis=-1)
+    idx_full = jnp.take_along_axis(idx_cat, order, axis=-1)
+    return z_merged, src_index, idx_full

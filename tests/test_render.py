@@ -1,0 +1,104 @@
+"""Tests for transmittance weights and compositing."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from nerf_tpu.core import render
+
+
+def np_weights(density, zvals, act=lambda x: np.maximum(x, 0)):
+    """Independent cumprod formulation (mirrors nerf_base.py:79-86)."""
+    delta = np.concatenate(
+        [zvals[:, 1:] - zvals[:, :-1], np.full((zvals.shape[0], 1), 1e10)], -1
+    )
+    mult = np.exp(-act(density) * delta)
+    alpha = 1.0 - mult
+    cp = np.cumprod(np.concatenate([np.ones((alpha.shape[0], 1)), mult + 1e-10], -1), -1)
+    return alpha * cp[:, :-1]
+
+
+def test_weights_match_cumprod_oracle(rng):
+    density = rng.standard_normal((8, 64)).astype(np.float32) * 2
+    zvals = np.sort(rng.uniform(2, 6, (8, 64)).astype(np.float32), -1)
+    got = np.asarray(render.transmittance_weights(jnp.asarray(density), jnp.asarray(zvals)))
+    want = np_weights(density, zvals)
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-4)
+
+
+def test_weights_sum_below_one(rng):
+    density = np.abs(rng.standard_normal((4, 32)).astype(np.float32))
+    zvals = np.sort(rng.uniform(2, 6, (4, 32)).astype(np.float32), -1)
+    w = np.asarray(render.transmittance_weights(jnp.asarray(density), jnp.asarray(zvals)))
+    assert np.all(w >= 0)
+    # the 1e-10 cumprod epsilon (reference parity) can inflate the sum a hair
+    assert np.all(w.sum(-1) <= 1.0 + 1e-4)
+
+
+def test_opaque_wall_collapses_to_first_sample():
+    """Huge density at the first sample -> weight ~1 there, ~0 after."""
+    density = jnp.full((1, 8), 1e4)
+    zvals = jnp.linspace(2, 6, 8)[None]
+    w = np.asarray(render.transmittance_weights(density, zvals))
+    assert w[0, 0] > 0.99
+    assert np.all(w[0, 1:] < 1e-3)
+
+
+def test_composite_white_background():
+    """Zero density everywhere + white_bkg -> pure white output."""
+    rgb = jnp.zeros((2, 16, 3))
+    density = jnp.full((2, 16), -10.0)  # relu -> 0
+    zvals = jnp.broadcast_to(jnp.linspace(2, 6, 16), (2, 16))
+    dirs = jnp.asarray([[0.0, 0.0, -1.0]] * 2)
+    out, w, _ = render.composite(rgb, density, zvals, dirs, white_bkg=True)
+    np.testing.assert_allclose(np.asarray(out), 1.0, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(w), 0.0, atol=1e-6)
+
+
+def test_composite_ray_norm_scaling():
+    """Doubling ||d|| doubles the metric deltas -> higher opacity."""
+    rgb = jnp.ones((1, 16, 3)) * 0.5
+    density = jnp.full((1, 16), 0.5)
+    zvals = jnp.broadcast_to(jnp.linspace(2, 6, 16), (1, 16))
+    d1 = jnp.asarray([[0.0, 0.0, -1.0]])
+    d2 = jnp.asarray([[0.0, 0.0, -2.0]])
+    _, w1, _ = render.composite(rgb, density, zvals, d1)
+    _, w2, _ = render.composite(rgb, density, zvals, d2)
+    # more accumulated opacity early with the longer direction vector
+    assert float(w2[0, 0]) > float(w1[0, 0])
+
+
+def test_composite_depth_extra():
+    """Opaque wall at z=4 -> normalized depth = (4*||d|| - near)/(far-near)."""
+    density = jnp.where(jnp.arange(64) == 32, 1e5, 0.0)[None].repeat(1, 0)
+    zvals = jnp.linspace(2, 6, 64)[None]
+    rgb = jnp.ones((1, 64, 3))
+    dirs = jnp.asarray([[0.0, 0.0, -1.0]])
+    _, _, extras = render.composite(rgb, density, zvals, dirs, depth_bounds=(2.0, 6.0))
+    z_wall = float(zvals[0, 32])
+    np.testing.assert_allclose(float(extras["depth"][0]), (z_wall - 2.0) / 4.0, atol=1e-3)
+
+
+def test_composite_normal_extra():
+    density = jnp.full((1, 8), 1e5)  # everything at the first sample
+    zvals = jnp.linspace(2, 6, 8)[None]
+    rgb = jnp.ones((1, 8, 3))
+    dirs = jnp.asarray([[0.0, 0.0, -1.0]])
+    normal = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (1, 8, 3))
+    cam_dir = jnp.asarray([0.0, 0.0, 1.0])
+    _, _, extras = render.composite(
+        rgb, density, zvals, dirs, normal_info=(normal, cam_dir)
+    )
+    # n . cam = 1 -> mapped to (1+1)/2 = 1
+    np.testing.assert_allclose(float(extras["normal"][0]), 1.0, atol=1e-3)
+
+
+def test_mse_to_psnr():
+    np.testing.assert_allclose(float(render.mse_to_psnr(jnp.asarray(0.01))), 20.0, atol=1e-4)
+
+
+def test_lengths_to_points():
+    rays = jnp.asarray([[1.0, 2.0, 3.0, 0.0, 0.0, -1.0]])
+    z = jnp.asarray([[2.0, 4.0]])
+    pts = np.asarray(render.lengths_to_points(rays, z))
+    np.testing.assert_allclose(pts, [[[1, 2, 1], [1, 2, -1]]], atol=1e-6)
