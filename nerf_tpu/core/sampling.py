@@ -25,15 +25,18 @@ import jax
 import jax.numpy as jnp
 
 
-def stratified_samples(key, n_rays: int, n_samples: int, near: float, far: float):
+def stratified_samples(key, n_rays: int, n_samples: int, near: float, far: float,
+                       jitter: jnp.ndarray | None = None):
     """Jittered lengths in [near, far): linspace(near, far-res) + U(0,res).
 
     Parity: utils.py:87-90 (one sample per interval, interval width res).
-    Returns (n_rays, n_samples) float32.
+    Returns (n_rays, n_samples) float32.  ``jitter`` (n_rays, n_samples)
+    uniforms override the drawn ones (pre-generated eval noise).
     """
     res = (far - near) / n_samples
     base = jnp.linspace(near, far - res, n_samples, dtype=jnp.float32)
-    jitter = jax.random.uniform(key, (n_rays, n_samples), dtype=jnp.float32)
+    if jitter is None:
+        jitter = jax.random.uniform(key, (n_rays, n_samples), dtype=jnp.float32)
     return base[None, :] + jitter * res
 
 
@@ -87,7 +90,8 @@ def sample_pdf(key, bins: jnp.ndarray, weights: jnp.ndarray, n_samples: int,
 
 
 def inverse_sample(key, weights: jnp.ndarray, coarse_depth: jnp.ndarray,
-                   n_samples: int, sort: bool = False):
+                   n_samples: int, sort: bool = False,
+                   u: jnp.ndarray | None = None):
     """Importance-sample fine depths from proposal weights.
 
     weights: (R, P) proposal weights (gradients are stopped, matching the
@@ -97,7 +101,7 @@ def inverse_sample(key, weights: jnp.ndarray, coarse_depth: jnp.ndarray,
     """
     weights = jax.lax.stop_gradient(weights)
     z_mid = 0.5 * (coarse_depth[..., 1:] + coarse_depth[..., :-1])
-    samples, below, _ = sample_pdf(key, z_mid, weights[..., 1:-1], n_samples)
+    samples, below, _ = sample_pdf(key, z_mid, weights[..., 1:-1], n_samples, u=u)
     if not sort:
         return samples
     order = jnp.argsort(samples, axis=-1)

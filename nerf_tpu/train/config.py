@@ -1,0 +1,48 @@
+"""Static pipeline configuration (hashable; safe as a jit static argument).
+
+Field defaults mirror the reference CLI defaults
+(/root/reference/nerf/procedures.py:166-213).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    model: str = "vanilla"            # "vanilla" | "ref"
+    near: float = 2.0
+    far: float = 6.0
+    n_coarse: int = 64                # --coarse_sample_pnum
+    n_fine: int = 128                 # --fine_sample_pnum
+    ray_batch: int = 1024             # --sample_ray_num
+    white_bkg: bool = False           # -w (eval composite only, matching train.py)
+    use_srgb: bool = False            # -u
+    prop_normal: bool = False         # --prop_normal
+    ide_level: int = 4                # --ide_level
+    bottleneck_noise: float = 0.02    # --bottle_neck_noise
+    nerf_width: int = 256             # --nerf_net_width
+    prop_width: int = 256             # --prop_net_width
+    max_blur_alpha: float = 0.01      # hardcoded at train.py:171
+    # loss coefficients (train.py:198)
+    normal_loss_w: float = 4e-4
+    coarse_normal_rel_w: float = 0.1
+    backface_w: float = 0.1
+    # optional regularizers (defined-but-unused / branch-only in the reference)
+    distortion_w: float = 0.0         # addtional.py:26-36 Regularizer (dead code there)
+    entropy_w: float = 0.0            # InfoNeRF ray-entropy (separate branch upstream)
+    entropy_acc_threshold: float = 0.1
+    # numerics
+    use_bf16: bool = False            # TPU-native replacement for APEX AMP (-s)
+    # quirk toggles (see SURVEY.md section 7 "faithfulness decisions")
+    legacy_focal: bool = False        # reproduce utils.py:103-105 focal bug
+
+    @property
+    def n_merged(self) -> int:
+        """Ref-path sample count after coarse/fine merge minus the dropped tail."""
+        return self.n_coarse + self.n_fine
+
+    def replace(self, **kw) -> "PipelineConfig":
+        return dataclasses.replace(self, **kw)

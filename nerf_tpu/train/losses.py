@@ -1,0 +1,98 @@
+"""Loss functions.
+
+Capability parity (behavior, not code):
+  - ProposalLoss:        /root/reference/nerf/addtional.py:20-24
+  - Regularizer:         /root/reference/nerf/addtional.py:26-36 (defined but
+    never used in the reference; exposed here behind ``distortion_w``)
+  - SoftL1Loss:          /root/reference/nerf/addtional.py:38-43 (name is
+    stale upstream — the body is plain MSE; reproduced as such)
+  - LossPSNR:            /root/reference/nerf/addtional.py:45-51
+  - WeightedNormalLoss:  /root/reference/nerf/ref_model.py:127-135
+  - BackFaceLoss:        /root/reference/nerf/ref_model.py:137-143
+  - ray-entropy loss: InfoNeRF (CVPR 2022) — lives on a separate branch of the
+    upstream repo (README.md:16), provided here behind ``entropy_w``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def mse(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean((pred - target) ** 2)
+
+
+soft_l1 = mse  # reference-parity alias: SoftL1Loss computes plain MSE
+
+
+def mse_to_psnr(m: jnp.ndarray) -> jnp.ndarray:
+    return -10.0 * jnp.log(m) / jnp.log(10.0)
+
+
+def proposal_loss(prop_bounds: jnp.ndarray, nerf_weights: jnp.ndarray) -> jnp.ndarray:
+    """Truncated distillation loss: sum(relu(w - bound)^2 / (w + 1e-8)).
+
+    ``nerf_weights`` must already be gradient-stopped by the caller (the
+    reference detaches at train.py:197).
+    """
+    diff = jax.nn.relu(nerf_weights - prop_bounds) ** 2
+    return jnp.sum(diff / (nerf_weights + 1e-8))
+
+
+def weighted_normal_loss(weights: jnp.ndarray, d_norm: jnp.ndarray,
+                         p_norm: jnp.ndarray, size_average: bool = True) -> jnp.ndarray:
+    """Weighted (1 - d.n) between density-gradient and predicted normals."""
+    dot_diff = 1.0 - jnp.sum(d_norm * p_norm, axis=-1)
+    val = weights * dot_diff
+    return jnp.mean(val) if size_average else jnp.sum(val)
+
+
+def backface_loss(weights: jnp.ndarray, normal: jnp.ndarray,
+                  ray_d: jnp.ndarray) -> jnp.ndarray:
+    """Orientation loss: mean(weight * relu(n . d))."""
+    return jnp.mean(weights * jax.nn.relu(jnp.sum(normal * ray_d, axis=-1)))
+
+
+def reference_distortion_loss(weights: jnp.ndarray, fine_ts: jnp.ndarray) -> jnp.ndarray:
+    """The reference's Regularizer exactly as written (addtional.py:26-36).
+
+    Note this deviates from the published mip-360 distortion loss: the
+    pairwise distance matrix is row-normalized (addtional.py:32), a quirk
+    preserved for parity.  weights: (R, P), fine_ts: (R, P+1) interval edges.
+    """
+    center = 0.5 * (fine_ts[..., :-1] + fine_ts[..., 1:])
+    dists = jnp.abs(center[:, None, :] - center[..., None])
+    dists = dists / jnp.linalg.norm(dists, axis=-1, keepdims=True)
+    avg_w = 0.5 * (weights[..., :-1] + weights[..., 1:])
+    mult = avg_w[:, None, :] * avg_w[..., None]
+    delta = fine_ts[..., 1:] - fine_ts[..., :-1]
+    return jnp.mean(mult * dists) + jnp.mean(delta * avg_w**2) / 3.0
+
+
+def distortion_loss(weights: jnp.ndarray, svals: jnp.ndarray) -> jnp.ndarray:
+    """The published mip-NeRF-360 distortion loss (eq. 15), O(P) form.
+
+    weights: (R, P) over intervals with normalized edges svals: (R, P+1).
+    Provided as the mathematically-correct alternative to
+    ``reference_distortion_loss``.
+    """
+    mid = 0.5 * (svals[..., 1:] + svals[..., :-1])
+    dist = jnp.abs(mid[..., :, None] - mid[..., None, :])
+    inter = jnp.sum(weights[..., :, None] * weights[..., None, :] * dist, axis=(-1, -2))
+    intra = jnp.sum(weights**2 * (svals[..., 1:] - svals[..., :-1]), axis=-1) / 3.0
+    return jnp.mean(inter + intra)
+
+
+def ray_entropy_loss(weights: jnp.ndarray, acc_threshold: float = 0.1) -> jnp.ndarray:
+    """InfoNeRF ray-density entropy regularizer.
+
+    Encourages each ray's weight distribution to be peaky; rays with
+    accumulated opacity below ``acc_threshold`` are masked out (background
+    rays carry no information about ray density).
+    """
+    acc = jnp.sum(weights, axis=-1)
+    p = weights / (acc[..., None] + 1e-10)
+    ent = -jnp.sum(p * jnp.log(p + 1e-10), axis=-1)
+    mask = (acc > acc_threshold).astype(ent.dtype)
+    return jnp.sum(ent * mask) / (jnp.sum(mask) + 1e-10)

@@ -1,0 +1,237 @@
+"""The shared render pipeline: proposal -> importance sampling -> fine model.
+
+This is the TPU-native re-design of the reference's per-step closure
+(train.py:164-199) and eval renderer (procedures.py:34-97): one pure function
+over parameter pytrees with explicit PRNG keys, fully jittable, static shapes
+throughout.  Both the train step and the eval renderer call into here so the
+two paths cannot drift apart.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from nerf_tpu.core import rays as rays_lib
+from nerf_tpu.core import render as render_lib
+from nerf_tpu.core import sampling
+from nerf_tpu.models import ProposalNetwork, RefNeRF, VanillaNeRF
+from nerf_tpu.train.config import PipelineConfig
+
+
+def make_models(cfg: PipelineConfig) -> Tuple[Any, ProposalNetwork]:
+    dtype = jnp.bfloat16 if cfg.use_bf16 else jnp.float32
+    if cfg.model == "ref":
+        # the ref model's spatial trunk feeds second-order normal gradients;
+        # keep it fp32 (SURVEY.md section 7 "fp32 islands")
+        nerf = RefNeRF(
+            ide_level=cfg.ide_level,
+            hidden=cfg.nerf_width,
+            use_srgb=cfg.use_srgb,
+            perturb_bottleneck=cfg.bottleneck_noise,
+            dtype=jnp.float32,
+        )
+    elif cfg.model == "vanilla":
+        nerf = VanillaNeRF(hidden=cfg.nerf_width, dtype=dtype)
+    else:
+        raise ValueError(f"unknown model {cfg.model!r}")
+    prop = ProposalNetwork(hidden=cfg.prop_width, dtype=dtype)
+    return nerf, prop
+
+
+def init_variables(cfg: PipelineConfig, key) -> Dict[str, Any]:
+    nerf, prop = make_models(cfg)
+    k1, k2, k3 = jax.random.split(key, 3)
+    pos = jnp.zeros((1, 2, 3), jnp.float32)
+    dirs = jnp.ones((1, 2, 3), jnp.float32)
+    if cfg.model == "ref":
+        nerf_vars = nerf.init({"params": k1, "noise": k3}, pos, dirs, True)
+    else:
+        nerf_vars = nerf.init(k1, pos, dirs)
+    prop_vars = prop.init(k2, pos)
+    return {"nerf": nerf_vars["params"], "prop": prop_vars["params"]}
+
+
+# ---------------------------------------------------------------------------
+# proposal stage (shared by train and eval)
+# ---------------------------------------------------------------------------
+
+def _proposal_weights(prop: ProposalNetwork, prop_params, rays, c_z, cfg,
+                      train: bool, with_grad: bool = False):
+    """Run the proposal net and produce max-blurred sampling weights.
+
+    Train parity: density -> softplus -> transmittance (train.py:169-171).
+    Eval parity:  density -> relu inside the weight computation
+    (procedures.py:67-68 — the eval path never applies softplus).
+    Returns (blurred_weights, raw_weights, coarse_grad_or_None).
+    """
+    c_pts = render_lib.lengths_to_points(rays, c_z)
+
+    def density_fn(p):
+        return prop.apply({"params": prop_params}, p)
+
+    coarse_grad = None
+    if with_grad:
+        raw_density, vjp_fn = jax.vjp(density_fn, c_pts)
+        (g,) = vjp_fn(jnp.ones_like(raw_density))
+        g_norm = jnp.linalg.norm(g, axis=-1, keepdims=True)
+        coarse_grad = -(g / jnp.maximum(1e-5, g_norm))
+    else:
+        raw_density = density_fn(c_pts)
+
+    if train:
+        density = jax.nn.softplus(raw_density)
+        act = lambda x: x  # already activated
+    else:
+        density = raw_density
+        act = jax.nn.relu
+    w_raw = render_lib.transmittance_weights(
+        density, c_z, ray_dirs=rays[..., 3:], density_act=act
+    )
+    w_blur = sampling.max_blur_filter(w_raw, cfg.max_blur_alpha)
+    return w_blur, w_raw, coarse_grad
+
+
+# ---------------------------------------------------------------------------
+# fine stage
+# ---------------------------------------------------------------------------
+
+def _ref_fine_forward(nerf: RefNeRF, nerf_params, pos, dirs, noise_key,
+                      train: bool, need_grad: bool):
+    """Ref-NeRF forward with optional d(sigma)/d(pos) via one shared vjp.
+
+    The reference re-walks the torch autograd graph with retain_graph
+    (ref_model.py:119-125); here a single jax.vjp over the spatial trunk
+    yields the per-point density gradient with one extra backward and no
+    recomputation, and stays differentiable for the second-order loss terms.
+    """
+
+    def spatial_fn(p):
+        out = nerf.apply({"params": nerf_params}, p, method=RefNeRF.spatial)
+        return out["density"], out
+
+    if need_grad:
+        raw_density, vjp_fn, spa = jax.vjp(spatial_fn, pos, has_aux=True)
+        (g,) = vjp_fn(jnp.ones_like(raw_density))
+        g_norm = jnp.linalg.norm(g, axis=-1, keepdims=True)
+        density_grad = -(g / jnp.maximum(1e-5, g_norm))
+    else:
+        raw_density, spa = spatial_fn(pos)
+        density_grad = None
+
+    rngs = {"noise": noise_key} if (train and noise_key is not None) else None
+    rgb = nerf.apply(
+        {"params": nerf_params}, spa, dirs, train,
+        method=RefNeRF.directional, rngs=rngs,
+    )
+    return rgb, raw_density, spa["normal"], density_grad
+
+
+def render_rays_train(models, variables, rays, key, cfg: PipelineConfig):
+    """Training forward for a ray batch. Returns a dict of render outputs.
+
+    Mirrors the reference run() closure (train.py:164-199) end to end.
+    rays: (R, 6).
+    """
+    nerf, prop = models
+    k_strat, k_inv, k_noise = jax.random.split(key, 3)
+    n_rays = rays.shape[0]
+
+    c_z = sampling.stratified_samples(k_strat, n_rays, cfg.n_coarse, cfg.near, cfg.far)
+    need_prop_grad = cfg.prop_normal and cfg.model == "ref"
+    w_blur, _, coarse_grad = _proposal_weights(
+        prop, variables["prop"], rays, c_z, cfg, train=True, with_grad=need_prop_grad
+    )
+
+    f_z, below = sampling.inverse_sample(k_inv, w_blur, c_z, cfg.n_fine + 1, sort=True)
+    out: Dict[str, Any] = {"prop_weights": w_blur, "coarse_grad": coarse_grad}
+
+    if cfg.model == "ref":
+        z_merged, _, coarse_pos, idx_full = sampling.merge_coarse_fine(c_z, f_z, below)
+        pos = render_lib.lengths_to_points(rays, z_merged)
+        dirs = jnp.broadcast_to(rays[:, None, 3:], pos.shape)
+        rgb, raw_density, pred_normal, density_grad = _ref_fine_forward(
+            nerf, variables["nerf"], pos, dirs, k_noise, train=True, need_grad=True
+        )
+        density = jax.nn.softplus(raw_density + 0.5)  # train.py:181 parity
+        fine_rgb, weights, _ = render_lib.composite(
+            rgb, density, z_merged, rays[:, 3:], density_act=lambda x: x
+        )
+        out.update(
+            fine_rgb=fine_rgb,
+            weights=weights,
+            bounds_idx=idx_full,
+            pred_normal=pred_normal,
+            density_grad=density_grad,
+            fine_dirs=dirs,
+            coarse_pos=coarse_pos,
+            z_merged=z_merged,
+        )
+    else:
+        z_fine = f_z[..., :-1]
+        pos = render_lib.lengths_to_points(rays, z_fine)
+        dirs = jnp.broadcast_to(rays[:, None, 3:], pos.shape)
+        rgb, sigma = nerf.apply({"params": variables["nerf"]}, pos, dirs)
+        fine_rgb, weights, _ = render_lib.composite(rgb, sigma, z_fine, rays[:, 3:])
+        out.update(fine_rgb=fine_rgb, weights=weights, bounds_idx=below, z_fine=z_fine)
+
+    out["bounds"] = sampling.weight_bounds(w_blur, out["bounds_idx"])
+    return out
+
+
+def render_rays_eval(models, variables, rays, key, cfg: PipelineConfig,
+                     sample_num: Optional[int] = None,
+                     render_depth: bool = False,
+                     normal_cam_dir: Optional[jnp.ndarray] = None,
+                     noise: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None):
+    """Eval forward for a ray batch (no_grad path of procedures.py:34-97).
+
+    Returns (rgb (R, 3), extras dict).  ``normal_cam_dir`` enables the normal
+    map extra (ref model only).  ``noise`` = (stratified jitter (R, n_coarse),
+    inverse-CDF uniforms (R, sample_num+1)) makes the render independent of
+    how rays are chunked.
+    """
+    nerf, prop = models
+    sample_num = cfg.n_fine if sample_num is None else sample_num
+    if noise is None:
+        k_strat, k_inv = jax.random.split(key)
+        jitter, u = None, None
+    else:
+        k_strat = k_inv = None
+        jitter, u = noise
+    n_rays = rays.shape[0]
+
+    c_z = sampling.stratified_samples(k_strat, n_rays, cfg.n_coarse, cfg.near,
+                                      cfg.far, jitter=jitter)
+    w_blur, _, _ = _proposal_weights(prop, variables["prop"], rays, c_z, cfg, train=False)
+    f_z, _ = sampling.inverse_sample(k_inv, w_blur, c_z, sample_num + 1, sort=True, u=u)
+
+    normal = None
+    if cfg.model == "ref":
+        z_vals, _, _ = sampling.merge_coarse_fine(c_z, f_z)
+        pos = render_lib.lengths_to_points(rays, z_vals)
+        dirs = jnp.broadcast_to(rays[:, None, 3:], pos.shape)
+        rgb, raw_density, normal, _ = _ref_fine_forward(
+            nerf, variables["nerf"], pos, dirs, None, train=False, need_grad=False
+        )
+        density = jax.nn.softplus(raw_density + 0.5)  # procedures.py:74 parity
+        act = lambda x: x
+    else:
+        z_vals = f_z[..., :-1]
+        pos = render_lib.lengths_to_points(rays, z_vals)
+        dirs = jnp.broadcast_to(rays[:, None, 3:], pos.shape)
+        rgb, density = nerf.apply({"params": variables["nerf"]}, pos, dirs)
+        act = jax.nn.relu
+
+    normal_info = None
+    if normal_cam_dir is not None and normal is not None:
+        normal_info = (normal, normal_cam_dir)
+    rgb_out, weights, extras = render_lib.composite(
+        rgb, density, z_vals, rays[:, 3:],
+        white_bkg=cfg.white_bkg, density_act=act,
+        depth_bounds=(cfg.near, cfg.far) if render_depth else None,
+        normal_info=normal_info,
+    )
+    return rgb_out, extras

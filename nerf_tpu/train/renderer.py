@@ -1,0 +1,88 @@
+"""Full-image eval renderer.
+
+Capability parity (behavior, not code): render_image
+(/root/reference/nerf/procedures.py:34-97).  Instead of a Python double loop
+over sz x sz spatial patches (procedures.py:62-63) the rays are processed as
+fixed-size flat chunks under jax.lax.map, so the whole frame renders as one
+compiled program regardless of image size; chunking bounds peak memory the
+same way patches did.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from nerf_tpu.core import rays as rays_lib
+from nerf_tpu.train.config import PipelineConfig
+from nerf_tpu.train.pipeline import render_rays_eval
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "hw", "focal", "sample_num", "render_depth",
+                     "render_normal", "chunk"),
+)
+def _render_image_jit(variables, c2w, key, *, cfg: PipelineConfig, hw, focal,
+                      sample_num, render_depth, render_normal, chunk):
+    from nerf_tpu.train.pipeline import make_models
+
+    models = make_models(cfg)
+    h, w = hw
+    all_rays = rays_lib.full_image_rays(h, w, c2w, focal)
+    n_pix = h * w
+    pad = (-n_pix) % chunk
+    n_padded = n_pix + pad
+    all_rays = jnp.concatenate([all_rays, jnp.ones((pad, 6), all_rays.dtype)], axis=0)
+    ray_chunks = all_rays.reshape(-1, chunk, 6)
+    # pre-drawn noise for the whole frame -> chunk-size-invariant renders
+    k1, k2 = jax.random.split(key)
+    jitter = jax.random.uniform(k1, (n_padded, cfg.n_coarse)).reshape(-1, chunk, cfg.n_coarse)
+    u = jax.random.uniform(k2, (n_padded, sample_num + 1)).reshape(-1, chunk, sample_num + 1)
+    normal_cam_dir = c2w[:, 2] if render_normal else None
+
+    def one_chunk(args):
+        rays, jit_c, u_c = args
+        rgb, extras = render_rays_eval(
+            models, variables, rays, None, cfg,
+            sample_num=sample_num,
+            render_depth=render_depth,
+            normal_cam_dir=normal_cam_dir,
+            noise=(jit_c, u_c),
+        )
+        depth = extras.get("depth", jnp.zeros(rays.shape[0]))
+        normal = extras.get("normal", jnp.zeros(rays.shape[0]))
+        return rgb, depth, normal
+
+    rgb, depth, normal = jax.lax.map(one_chunk, (ray_chunks, jitter, u))
+    out = {"rgb": rgb.reshape(-1, 3)[:n_pix].reshape(h, w, 3)}
+    if render_depth:
+        out["depth"] = depth.reshape(-1)[:n_pix].reshape(h, w)
+    if render_normal:
+        out["normal"] = normal.reshape(-1)[:n_pix].reshape(h, w)
+    return out
+
+
+def render_image(variables, c2w, hw, focal, cfg: PipelineConfig,
+                 sample_num: Optional[int] = None, render_depth: bool = False,
+                 render_normal: bool = False, key=None,
+                 chunk: int = 4096) -> Dict[str, np.ndarray]:
+    """Render a full frame; returns numpy images in [0, 1].
+
+    render_normal is only honored for the ref model (procedures.py:40 parity).
+    """
+    sample_num = cfg.n_fine if sample_num is None else sample_num
+    render_normal = render_normal and cfg.model == "ref"
+    key = jax.random.PRNGKey(0) if key is None else key
+    c2w = jnp.asarray(np.asarray(c2w, np.float32)[:3, :])
+    out = _render_image_jit(
+        variables, c2w, key, cfg=cfg, hw=(int(hw[0]), int(hw[1])),
+        focal=(float(focal[0]), float(focal[1])), sample_num=int(sample_num),
+        render_depth=bool(render_depth), render_normal=bool(render_normal),
+        chunk=int(chunk),
+    )
+    return {k: np.asarray(v) for k, v in out.items()}

@@ -1,0 +1,47 @@
+"""Eval renderer tests: shapes, chunk-size invariance, extras."""
+
+import numpy as np
+import jax
+
+from nerf_tpu.core import rays as rays_lib
+from nerf_tpu.train.config import PipelineConfig
+from nerf_tpu.train.pipeline import init_variables
+from nerf_tpu.train.renderer import render_image
+
+CFG = PipelineConfig(n_coarse=16, n_fine=16, nerf_width=32, prop_width=32,
+                     white_bkg=True)
+
+
+def test_render_image_shapes_and_chunk_invariance():
+    cfg = CFG
+    params = init_variables(cfg, jax.random.PRNGKey(0))
+    pose = rays_lib.pose_spherical(30.0, -30.0, 4.0)
+    focal = rays_lib.fov_to_focal(0.69, (20, 20))
+    out1 = render_image(params, pose, (20, 20), focal, cfg, chunk=100)
+    out2 = render_image(params, pose, (20, 20), focal, cfg, chunk=400)
+    assert out1["rgb"].shape == (20, 20, 3)
+    np.testing.assert_allclose(out1["rgb"], out2["rgb"], atol=1e-5)
+
+
+def test_render_image_ref_extras():
+    cfg = CFG.replace(model="ref", nerf_width=32)
+    params = init_variables(cfg, jax.random.PRNGKey(0))
+    pose = rays_lib.pose_spherical(0.0, -30.0, 4.0)
+    focal = rays_lib.fov_to_focal(0.69, (16, 16))
+    out = render_image(params, pose, (16, 16), focal, cfg, chunk=64,
+                       render_depth=True, render_normal=True)
+    assert out["rgb"].shape == (16, 16, 3)
+    assert out["depth"].shape == (16, 16)
+    assert out["normal"].shape == (16, 16)
+    for v in out.values():
+        assert np.all(np.isfinite(v))
+
+
+def test_render_normal_ignored_for_vanilla():
+    cfg = CFG
+    params = init_variables(cfg, jax.random.PRNGKey(0))
+    pose = rays_lib.pose_spherical(0.0, -30.0, 4.0)
+    focal = rays_lib.fov_to_focal(0.69, (16, 16))
+    out = render_image(params, pose, (16, 16), focal, cfg, chunk=64,
+                       render_normal=True)
+    assert "normal" not in out  # procedures.py:40 parity

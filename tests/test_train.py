@@ -1,0 +1,208 @@
+"""End-to-end train-step tests: loss decreases, ref path differentiates,
+regularizer flags work, PRNG determinism."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nerf_tpu.core import rays as rays_lib
+from nerf_tpu.data.synthetic import make_synthetic_scene
+from nerf_tpu.train import losses, schedule
+from nerf_tpu.train.config import PipelineConfig
+from nerf_tpu.train.pipeline import init_variables, make_models, render_rays_train
+from nerf_tpu.train.step import (
+    compute_loss,
+    create_train_state,
+    make_epoch_step,
+    make_optimizer,
+    make_train_step,
+    sample_train_rays,
+)
+
+TINY = PipelineConfig(n_coarse=24, n_fine=24, ray_batch=128,
+                      nerf_width=64, prop_width=64, white_bkg=True)
+
+
+@pytest.fixture(scope="module")
+def tiny_scene():
+    train, test, _ = make_synthetic_scene(n_train=6, n_test=1, hw=(40, 40),
+                                          seed=3, n_samples=96)
+    return train, test
+
+
+def _setup(cfg, lr=5e-3):
+    models = make_models(cfg)
+    params = init_variables(cfg, jax.random.PRNGKey(0))
+    tx = make_optimizer(cfg, schedule.decay_schedule(lr, warmup_step=0))
+    return models, params, tx
+
+
+def test_sample_train_rays_shapes_and_gt(tiny_scene):
+    train, _ = tiny_scene
+    pool = jnp.asarray(train.pixel_pool())
+    poses = jnp.asarray(train.poses)
+    rays, rgb = sample_train_rays(
+        jax.random.PRNGKey(0), pool, poses, 2, train.image_hw,
+        train.focal(), 64,
+    )
+    assert rays.shape == (64, 6)
+    assert rgb.shape == (64, 3)
+    # gt pixels must come from image 2's pixel set
+    img2 = train.pixel_pool()[2]
+    for px in np.asarray(rgb)[:5]:
+        assert np.any(np.all(np.isclose(img2, px, atol=1e-6), axis=-1))
+
+
+def test_sample_train_rays_crop_window(tiny_scene):
+    train, _ = tiny_scene
+    pool = jnp.asarray(train.pixel_pool())
+    poses = jnp.asarray(train.poses)
+    h, w = train.image_hw
+    window = rays_lib.crop_bounds(h, w, (0.5, 0.5))
+    rays, _ = sample_train_rays(
+        jax.random.PRNGKey(1), pool, poses, 0, (h, w), train.focal(), 256, window
+    )
+    # cropped rays have a narrower angular spread than full-image rays
+    rays_full, _ = sample_train_rays(
+        jax.random.PRNGKey(1), pool, poses, 0, (h, w), train.focal(), 256
+    )
+    d_c = np.asarray(rays[:, 3:])
+    d_f = np.asarray(rays_full[:, 3:])
+    assert np.ptp(d_c[:, 0]) < np.ptp(d_f[:, 0])
+
+
+def test_vanilla_training_reduces_loss(tiny_scene):
+    train, _ = tiny_scene
+    cfg = TINY
+    models, params, tx = _setup(cfg)
+    state = create_train_state(params, tx)
+    step = make_train_step(models, tx, cfg, train.image_hw, train.focal(),
+                           donate=False)
+    pool = jnp.asarray(train.pixel_pool())
+    poses = jnp.asarray(train.poses)
+
+    first_losses, last_losses = [], []
+    n_steps = 120
+    for i in range(n_steps):
+        state, metrics = step(state, pool, poses, i % len(train))
+        if i < 10:
+            first_losses.append(float(metrics["img_loss"]))
+        if i >= n_steps - 10:
+            last_losses.append(float(metrics["img_loss"]))
+    assert np.mean(last_losses) < 0.5 * np.mean(first_losses), (
+        f"loss did not drop: {np.mean(first_losses)} -> {np.mean(last_losses)}"
+    )
+    assert np.isfinite(float(metrics["psnr"]))
+
+
+def test_epoch_scan_matches_step_loop(tiny_scene):
+    """One lax.scan epoch == the same steps issued one by one."""
+    train, _ = tiny_scene
+    cfg = TINY
+    models, params, tx = _setup(cfg)
+    pool = jnp.asarray(train.pixel_pool())
+    poses = jnp.asarray(train.poses)
+    order = jnp.arange(len(train), dtype=jnp.int32)
+
+    key = jax.random.PRNGKey(42)
+    s1 = create_train_state(params, tx)
+    step = make_train_step(models, tx, cfg, train.image_hw, train.focal(),
+                           base_key=key, donate=False)
+    for i in np.asarray(order):
+        s1, _ = step(s1, pool, poses, int(i))
+
+    s2 = create_train_state(params, tx)
+    epoch = make_epoch_step(models, tx, cfg, train.image_hw, train.focal(),
+                            base_key=key)
+    s2, _ = epoch(s2, pool, poses, order)
+
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_ref_model_loss_and_grads_finite(tiny_scene):
+    train, _ = tiny_scene
+    cfg = TINY.replace(model="ref", prop_normal=True, ray_batch=32,
+                       n_coarse=16, n_fine=16)
+    models, params, tx = _setup(cfg)
+    pool = jnp.asarray(train.pixel_pool())
+    poses = jnp.asarray(train.poses)
+    rays, rgb_gt = sample_train_rays(
+        jax.random.PRNGKey(0), pool, poses, 0, train.image_hw, train.focal(),
+        cfg.ray_batch,
+    )
+    (loss, metrics), grads = jax.value_and_grad(
+        lambda p: compute_loss(models, p, rays, rgb_gt, jax.random.PRNGKey(1), cfg),
+        has_aux=True,
+    )(params)
+    assert np.isfinite(float(loss))
+    assert "normal_loss" in metrics and "bf_loss" in metrics
+    for g in jax.tree.leaves(grads):
+        assert np.all(np.isfinite(np.asarray(g)))
+    # normal losses must contribute gradient to the normal head
+    g_norm = grads["nerf"]["norm_col_tint_head"]["kernel"]
+    assert float(jnp.abs(g_norm).max()) > 0
+
+
+def test_regularizer_flags_change_loss(tiny_scene):
+    train, _ = tiny_scene
+    base = TINY.replace(ray_batch=32)
+    models, params, _ = _setup(base)
+    pool = jnp.asarray(train.pixel_pool())
+    poses = jnp.asarray(train.poses)
+    rays, rgb_gt = sample_train_rays(
+        jax.random.PRNGKey(0), pool, poses, 0, train.image_hw, train.focal(), 32
+    )
+    key = jax.random.PRNGKey(1)
+    l0, _ = compute_loss(models, params, rays, rgb_gt, key, base)
+    l_ent, _ = compute_loss(models, params, rays, rgb_gt, key,
+                            base.replace(entropy_w=0.1))
+    l_dist, _ = compute_loss(models, params, rays, rgb_gt, key,
+                             base.replace(distortion_w=0.1))
+    assert float(l_ent) != float(l0)
+    assert float(l_dist) != float(l0)
+
+
+def test_train_step_deterministic(tiny_scene):
+    train, _ = tiny_scene
+    cfg = TINY.replace(ray_batch=32)
+    models, params, tx = _setup(cfg)
+    pool = jnp.asarray(train.pixel_pool())
+    poses = jnp.asarray(train.poses)
+    step = make_train_step(models, tx, cfg, train.image_hw, train.focal(),
+                           base_key=jax.random.PRNGKey(9), donate=False)
+    sA, mA = step(create_train_state(params, tx), pool, poses, 1)
+    sB, mB = step(create_train_state(params, tx), pool, poses, 1)
+    assert float(mA["loss"]) == float(mB["loss"])
+
+
+def test_decay_schedule_parity():
+    """Schedule values match the reference DecayLrScheduler formula."""
+    sch = schedule.decay_schedule(1e-3, min_ratio=0.01, decay_rate=0.1,
+                                  decay_step=1000, warmup_step=100)
+    # warmup at step 50: lr * (0.01 * 0.5 + 0.5)
+    np.testing.assert_allclose(float(sch(50)), 1e-3 * (0.01 * 0.5 + 0.5), rtol=1e-5)
+    # decay at step 1100: lr * 0.1^(1000/1000)
+    np.testing.assert_allclose(float(sch(1100)), 1e-4, rtol=1e-4)
+    # floor
+    np.testing.assert_allclose(float(sch(10**7)), 1e-5, rtol=1e-4)
+    # actual_lr scaling (train.py:56)
+    assert schedule.scaled_base_lr(1.5e-4, 1024) == 1.5e-4 * 2.0
+
+
+def test_proposal_loss_golden():
+    bounds = jnp.asarray([[0.5, 0.2]])
+    w = jnp.asarray([[0.7, 0.1]])
+    got = float(losses.proposal_loss(bounds, w))
+    want = (0.2**2) / (0.7 + 1e-8)  # second term clamps to 0
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_ray_entropy_masks_empty_rays():
+    w = jnp.asarray([
+        [0.5, 0.5, 0.0, 0.0],   # opaque ray: entropy log(2)
+        [0.001, 0.001, 0.0, 0.0],  # background ray: masked
+    ])
+    got = float(losses.ray_entropy_loss(w, acc_threshold=0.1))
+    np.testing.assert_allclose(got, np.log(2), rtol=1e-3)
