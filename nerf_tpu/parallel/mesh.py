@@ -1,0 +1,57 @@
+"""Device mesh construction and multi-host initialization.
+
+TPU-native replacement for the reference's NCCL/torch.distributed stack
+(ddp_train.py:66-67, model_average.py:72-73, nerf/param_com.py): a 2-D
+jax.sharding.Mesh with axes
+
+  ('replica', 'data')
+
+  * 'data'    — synchronous gradient data-parallelism (== the reference's
+    DDP over ray batches); gradients are pmean'ed over this axis every step.
+  * 'replica' — model-averaging groups (== the reference's federated
+    model_average.py workers); parameters differ across this axis and are
+    periodically weight-averaged.
+
+The reference's hardcoded rendezvous env (MASTER_ADDR/PORT,
+ddp_train.py:320-322) maps to jax.distributed.initialize for multi-host DCN;
+within a host/pod slice, collectives compile onto ICI via XLA — there are no
+hand-rolled per-parameter send/recv loops anywhere (param_com.py:13-54
+becomes pytree-level collectives in model_average.py here).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+from jax.sharding import Mesh
+
+
+def make_mesh(n_data: Optional[int] = None, n_replica: int = 1,
+              devices=None) -> Mesh:
+    """Build a ('replica', 'data') mesh over the given (default: all) devices."""
+    devices = jax.devices() if devices is None else devices
+    if n_data is None:
+        if len(devices) % n_replica:
+            raise ValueError(f"{len(devices)} devices not divisible by "
+                             f"n_replica={n_replica}")
+        n_data = len(devices) // n_replica
+    n = n_replica * n_data
+    grid = np.asarray(devices[:n]).reshape(n_replica, n_data)
+    return Mesh(grid, ("replica", "data"))
+
+
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None):
+    """Multi-host rendezvous (replaces init_process_group, ddp_train.py:67).
+
+    On TPU pods all arguments are auto-detected from the environment; pass
+    them explicitly only for exotic setups.
+    """
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
