@@ -34,9 +34,20 @@ def positional_encoding(x: jnp.ndarray, levels: int) -> jnp.ndarray:
     x: (..., D) -> (..., 2*levels*D), ordered level-major then (sin, cos),
     matching reference nerf_helper.py:38-48: for each level, sin(f x) over all
     D dims then cos(f x) over all D dims.
+
+    TPU-first: computed as one (N, D) @ (D, 2LD) matmul + a single fused sin
+    (cos(v) = sin(v + pi/2)) — see core.fastmath.positional_encoding_mm.
+    The broadcast/concat loop formulation keeps every intermediate at trailing
+    dim D=3, wasting 125/128 lanes of every vector tile.
     """
+    from nerf_tpu.core.fastmath import positional_encoding_mm
+
+    return positional_encoding_mm(x, levels)
+
+
+def positional_encoding_ref(x: jnp.ndarray, levels: int) -> jnp.ndarray:
+    """Reference loop-and-broadcast formulation (test oracle)."""
     freqs = jnp.asarray([2.0**i for i in range(levels)], dtype=x.dtype)
-    # (..., L, D)
     scaled = x[..., None, :] * freqs[:, None]
     enc = jnp.concatenate([jnp.sin(scaled), jnp.cos(scaled)], axis=-1)
     return enc.reshape(*x.shape[:-1], 2 * levels * x.shape[-1])

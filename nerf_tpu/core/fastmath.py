@@ -1,0 +1,126 @@
+"""TPU-layout-friendly reformulations of small-tensor math.
+
+The NeRF inner loop is full of operations over tiny trailing dimensions
+((..., 3) points, (..., 64) sample axes) that map terribly onto the TPU's
+(8, 128) vector tiles and its lane-dimension scan weakness.  This module
+collects the reformulations that keep the work on the MXU/VPU with full
+tiles:
+
+  * frequency PE as ONE (N, 3) @ (3, 2*L*D) matmul + a single fused sin
+    (cos(x) == sin(x + pi/2)) instead of ~4L small ops on (..., 3) tensors;
+  * cumulative sums as a triangular matmul (the lane-dim cumsum XLA emits is
+    a serial shift chain; an (n, n) fp32 matmul is a handful of MXU passes);
+  * sorted uniform variates drawn directly via exponential spacings
+    (order-statistics construction) — distributionally identical to
+    sort(uniform(n)) with no sort anywhere.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+@functools.lru_cache(maxsize=None)
+def _pe_tables(levels: int, dim: int):
+    """Projection matrix (dim, 2*levels*dim) and phase (2*levels*dim,) such
+    that sin(x @ W + b) reproduces the level-major [sin, cos] PE ordering of
+    encoding.positional_encoding."""
+    out_dim = 2 * levels * dim
+    w = np.zeros((dim, out_dim), np.float32)
+    b = np.zeros((out_dim,), np.float32)
+    for l in range(levels):
+        f = 2.0**l
+        for d in range(dim):
+            w[d, 2 * l * dim + d] = f              # sin slot
+            w[d, 2 * l * dim + dim + d] = f        # cos slot
+            b[2 * l * dim + dim + d] = 0.5 * np.pi
+    return w, b
+
+
+def positional_encoding_mm(x: jnp.ndarray, levels: int) -> jnp.ndarray:
+    """Matmul-form frequency PE; bit-equivalent ordering to the loop form.
+
+    precision=HIGHEST is required: each projection column has a single
+    power-of-two coefficient, so the product is exact in fp32 — but a
+    low-precision pass would round x to bf16 and at level 9 the 2^9 frequency
+    amplifies that rounding into O(1) phase error inside sin.
+    """
+    d = x.shape[-1]
+    w, b = _pe_tables(levels, d)
+    proj = jax.lax.dot_general(
+        x, jnp.asarray(w, x.dtype),
+        dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    ) + jnp.asarray(b, x.dtype)
+    return jnp.sin(proj)
+
+
+@functools.lru_cache(maxsize=None)
+def _tri_ones(n: int):
+    return np.triu(np.ones((n, n), np.float32))
+
+
+def cumsum_mm(x: jnp.ndarray, exclusive: bool = False) -> jnp.ndarray:
+    """Cumulative sum along the last axis via an upper-triangular matmul.
+
+    fp32, precision=HIGHEST — exact to normal fp32 summation order for the
+    small n (< 256) used here.  ``exclusive`` shifts the result right by one
+    (out[..., 0] = 0), using the strictly-upper-triangular matrix.
+    """
+    n = x.shape[-1]
+    tri = _tri_ones(n)
+    if exclusive:
+        tri = tri - np.eye(n, dtype=np.float32)
+    return jax.lax.dot_general(
+        x.astype(jnp.float32), jnp.asarray(tri),
+        dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def sorted_uniforms(key, shape) -> jnp.ndarray:
+    """Sorted iid U(0, 1) order statistics with NO sort.
+
+    Draw n+1 iid Exp(1) spacings E_j; then S_i / S_{n+1} (S = prefix sums)
+    has exactly the joint law of sorted iid uniforms.  shape's last axis is
+    n; leading axes are independent batches.
+    """
+    *batch, n = shape
+    e = jax.random.exponential(key, (*batch, n + 1), dtype=jnp.float32)
+    s = cumsum_mm(e)
+    return s[..., :n] / s[..., n:]
+
+
+def interp_from_counts(le: jnp.ndarray, values: jnp.ndarray):
+    """Gather values at (below, above) interval endpoints without gathers.
+
+    le: (..., N, M) float 0/1 matrix, le[..., n, m] = [sorted_vals[m] <= u[n]]
+    values: (..., M).  Returns (v_below, v_above) of shape (..., N) where
+    below = clamp(count-1) and above = clamp(count), matching sample_pdf's
+    endpoint convention (count >= 1 guaranteed when sorted_vals[0] <= all u).
+
+    one-hot(below) = le - shift(le); the endpoint reads become two batched
+    matvecs on the MXU instead of take_along_axis gathers.
+    """
+    oh_below = le - jnp.concatenate(
+        [le[..., 1:], jnp.zeros_like(le[..., :1])], axis=-1
+    )
+    # above = below + 1 clamped to M-1: shift one-hot right, overflow stays
+    oh_above = jnp.concatenate(
+        [jnp.zeros_like(oh_below[..., :1]), oh_below[..., :-1]], axis=-1
+    )
+    oh_above = oh_above.at[..., -1].add(oh_below[..., -1])
+
+    def mv(oh):
+        return jax.lax.dot_general(
+            oh, values.astype(jnp.float32),
+            dimension_numbers=(((oh.ndim - 1,), (values.ndim - 1,)),
+                               (tuple(range(oh.ndim - 2)), tuple(range(values.ndim - 1)))),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    return mv(oh_below), mv(oh_above)

@@ -54,13 +54,14 @@ def transmittance_weights(density: jnp.ndarray, zvals: jnp.ndarray,
          jnp.full((*zvals.shape[:-1], 1), FAR_DELTA, jnp.float32)],
         axis=-1,
     )
+    from nerf_tpu.core.fastmath import cumsum_mm
+
     mult = jnp.exp(-density_act(density) * delta)
     alpha = 1.0 - mult
-    log_t = jnp.cumsum(jnp.log(mult + 1e-10), axis=-1)
-    trans = jnp.concatenate(
-        [jnp.ones((*zvals.shape[:-1], 1), jnp.float32), jnp.exp(log_t[..., :-1])],
-        axis=-1,
-    )
+    # exclusive log-space cumsum as a triangular matmul: XLA's lane-dimension
+    # cumsum lowers to a serial shift chain on TPU; one small fp32 MXU matmul
+    # replaces it (trans[0] = exp(0) = 1 from the exclusive form)
+    trans = jnp.exp(cumsum_mm(jnp.log(mult + 1e-10), exclusive=True))
     return alpha * trans
 
 

@@ -66,21 +66,24 @@ def sample_pdf(key, bins: jnp.ndarray, weights: jnp.ndarray, n_samples: int,
     Behavior parity: utils.py:108-133 (incl. the 1e-5 weight floor and the
     denom < 1e-5 guard).  ``u`` overrides the drawn uniforms (testing).
     """
+    from nerf_tpu.core.fastmath import cumsum_mm, interp_from_counts
+
     w = weights + 1e-5
     pdf = w / jnp.sum(w, axis=-1, keepdims=True)
-    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = cumsum_mm(pdf)
     cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)  # (..., M)
 
     if u is None:
         u = jax.random.uniform(key, (*cdf.shape[:-1], n_samples), dtype=cdf.dtype)
-    inds = count_le(cdf, u)  # right=True searchsorted
+    # dense compare once; counts give searchsorted, shifted-one-hot matvecs
+    # give the four endpoint reads with no gathers (see fastmath)
+    le = (cdf[..., None, :] <= u[..., :, None]).astype(jnp.float32)
+    inds = jnp.sum(le, axis=-1).astype(jnp.int32)
     below = jnp.maximum(0, inds - 1)
     above = jnp.minimum(cdf.shape[-1] - 1, inds)
 
-    cdf_b = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_a = jnp.take_along_axis(cdf, above, axis=-1)
-    bins_b = jnp.take_along_axis(bins, below, axis=-1)
-    bins_a = jnp.take_along_axis(bins, above, axis=-1)
+    cdf_b, cdf_a = interp_from_counts(le, cdf)
+    bins_b, bins_a = interp_from_counts(le, bins)
 
     denom = cdf_a - cdf_b
     denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)
@@ -101,13 +104,21 @@ def inverse_sample(key, weights: jnp.ndarray, coarse_depth: jnp.ndarray,
     """
     weights = jax.lax.stop_gradient(weights)
     z_mid = 0.5 * (coarse_depth[..., 1:] + coarse_depth[..., :-1])
-    samples, below, _ = sample_pdf(key, z_mid, weights[..., 1:-1], n_samples, u=u)
     if not sort:
+        samples, _, _ = sample_pdf(key, z_mid, weights[..., 1:-1], n_samples, u=u)
         return samples
-    order = jnp.argsort(samples, axis=-1)
-    z_sorted = jnp.take_along_axis(samples, order, axis=-1)
-    below_sorted = jnp.take_along_axis(below, order, axis=-1)
-    return z_sorted, below_sorted
+    # Sorted output with NO sort: the CDF inverse is monotone in u, so feeding
+    # sorted uniforms yields sorted samples (and monotone below indices).
+    # Sorted iid uniforms are drawn directly via exponential spacings
+    # (fastmath.sorted_uniforms) — same joint distribution as
+    # sort(uniform(n)), which is what the reference computes
+    # (utils.py:40-43: sample then torch.sort).
+    if u is None:
+        from nerf_tpu.core.fastmath import sorted_uniforms
+
+        u = sorted_uniforms(key, (*weights.shape[:-1], n_samples))
+    samples, below, _ = sample_pdf(None, z_mid, weights[..., 1:-1], n_samples, u=u)
+    return samples, below
 
 
 def max_blur_filter(weights: jnp.ndarray, alpha: float) -> jnp.ndarray:
@@ -130,12 +141,13 @@ def weight_bounds(prop_weights: jnp.ndarray, below_idx: jnp.ndarray) -> jnp.ndar
     starts = below_idx[:, :-1], ends = below_idx[:, 1:] + 1, via a cumulative
     sum gather.  Parity: addtional.py:14-18 (getBounds).
     """
+    from nerf_tpu.core.fastmath import cumsum_mm
+
     r = prop_weights.shape[0]
     starts = below_idx[..., :-1]
     ends = below_idx[..., 1:] + 1
     sat = jnp.concatenate(
-        [jnp.zeros((r, 1), prop_weights.dtype), jnp.cumsum(prop_weights, axis=-1)],
-        axis=-1,
+        [jnp.zeros((r, 1), jnp.float32), cumsum_mm(prop_weights)], axis=-1
     )
     return jnp.take_along_axis(sat, ends, axis=-1) - jnp.take_along_axis(sat, starts, axis=-1)
 
@@ -163,19 +175,24 @@ def merge_coarse_fine(c_z: jnp.ndarray, f_z: jnp.ndarray, f_idx=None):
     nf = f_z.shape[-1]
     n = nc + nf
 
+    # rank_f is monotone (f sorted), so "how many fine land at positions <= j"
+    # is a compare-count against it; that single matrix answers, per merged
+    # slot j, whether it holds a fine or coarse element and which index —
+    # scatter-free (TPU scatters serialize; compares + two gathers don't).
     rank_f = jnp.arange(nf, dtype=jnp.int32)[None, :] + count_lt(c_z, f_z)
     rank_c = jnp.arange(nc, dtype=jnp.int32)[None, :] + count_le(f_z, c_z)
 
-    rows = jnp.arange(r, dtype=jnp.int32)[:, None]
-    z_full = jnp.zeros((r, n), c_z.dtype)
-    z_full = z_full.at[rows, rank_f].set(f_z)
-    z_full = z_full.at[rows, rank_c].set(c_z)
+    positions = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (r, n))
+    nf_before = count_le(rank_f, positions)  # (r, n)
+    prev = jnp.concatenate([jnp.zeros((r, 1), jnp.int32), nf_before[..., :-1]], axis=-1)
+    is_fine = nf_before > prev
+    fine_idx = jnp.maximum(nf_before - 1, 0)
+    coarse_idx = jnp.clip(positions - nf_before, 0, nc - 1)
 
-    src = jnp.zeros((r, n), jnp.int32)
-    src = src.at[rows, rank_f].set(jnp.broadcast_to(jnp.arange(nf, dtype=jnp.int32), (r, nf)))
-    src = src.at[rows, rank_c].set(
-        jnp.broadcast_to(jnp.arange(nf, nf + nc, dtype=jnp.int32), (r, nc))
-    )
+    z_f = jnp.take_along_axis(f_z, fine_idx, axis=-1)
+    z_c = jnp.take_along_axis(c_z, coarse_idx, axis=-1)
+    z_full = jnp.where(is_fine, z_f, z_c)
+    src = jnp.where(is_fine, fine_idx, nf + coarse_idx)
 
     z_merged = z_full[..., :-1]
     src_index = src[..., :-1]
@@ -184,11 +201,8 @@ def merge_coarse_fine(c_z: jnp.ndarray, f_z: jnp.ndarray, f_idx=None):
     if f_idx is None:
         return z_merged, src_index, coarse_pos
 
-    idx_full = jnp.zeros((r, n), f_idx.dtype)
-    idx_full = idx_full.at[rows, rank_f].set(f_idx)
-    idx_full = idx_full.at[rows, rank_c].set(
-        jnp.broadcast_to(jnp.arange(nc, dtype=f_idx.dtype), (r, nc))
-    )
+    idx_f = jnp.take_along_axis(f_idx, fine_idx, axis=-1)
+    idx_full = jnp.where(is_fine, idx_f, coarse_idx.astype(f_idx.dtype))
     return z_merged, src_index, coarse_pos, idx_full
 
 

@@ -39,10 +39,14 @@ def _render_image_jit(variables, c2w, key, *, cfg: PipelineConfig, hw, focal,
     n_padded = n_pix + pad
     all_rays = jnp.concatenate([all_rays, jnp.ones((pad, 6), all_rays.dtype)], axis=0)
     ray_chunks = all_rays.reshape(-1, chunk, 6)
-    # pre-drawn noise for the whole frame -> chunk-size-invariant renders
+    # pre-drawn noise for the whole frame -> chunk-size-invariant renders;
+    # the inverse-CDF uniforms are drawn pre-sorted (order-statistics
+    # construction) as inverse_sample(sort=True) requires
+    from nerf_tpu.core.fastmath import sorted_uniforms
+
     k1, k2 = jax.random.split(key)
     jitter = jax.random.uniform(k1, (n_padded, cfg.n_coarse)).reshape(-1, chunk, cfg.n_coarse)
-    u = jax.random.uniform(k2, (n_padded, sample_num + 1)).reshape(-1, chunk, sample_num + 1)
+    u = sorted_uniforms(k2, (n_padded, sample_num + 1)).reshape(-1, chunk, sample_num + 1)
     normal_cam_dir = c2w[:, 2] if render_normal else None
 
     def one_chunk(args):

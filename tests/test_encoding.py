@@ -22,7 +22,8 @@ def test_positional_encoding_matches_loop_formulation(rng):
     got = np.asarray(encoding.positional_encoding(jnp.asarray(x), 10))
     want = np_positional_encoding(x, 10)
     assert got.shape == (7, 5, 60)
-    np.testing.assert_allclose(got, want, atol=1e-6)
+    # cos computed as sin(x + pi/2) differs from cos(x) by fp32 rounding
+    np.testing.assert_allclose(got, want, atol=1e-5)
 
 
 def test_positional_encoding_golden_values():
