@@ -1,0 +1,103 @@
+"""Shared CLI flag surface.
+
+Flag-for-flag parity with the reference parser
+(/root/reference/nerf/procedures.py:166-213) so a user of the reference can
+switch with their command lines intact. Departures, all documented:
+  * --opt_mode maps {O1, O2, native} -> bf16 compute (TPU-native mixed
+    precision; APEX does not exist here), none -> fp32.
+  * --dataset_root replaces the reference's inconsistent hardcoded relative
+    paths ('../<name>' train.py:102 vs '../dataset/<name>' ddp_train.py:118);
+    default keeps the train.py behavior.
+  * --pe_period_scale and -v/--visualize exist but are dead in the reference
+    (parsed, never read — SURVEY.md section 5); kept for acceptance, ignored,
+    and say so in help.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from nerf_tpu.train.config import PipelineConfig
+
+
+def get_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="nerf_tpu: TPU-native NeRF / Ref-NeRF / proposal-distillation trainer"
+    )
+    p.add_argument("--epochs", type=int, default=2400, help="Training lasts for . epochs")
+    p.add_argument("--max_save", type=int, default=3, help="Check point max save number")
+    p.add_argument("--sample_ray_num", type=int, default=1024, help="<x> rays to sample per training time")
+    p.add_argument("--coarse_sample_pnum", type=int, default=64, help="Points to sample in coarse net")
+    p.add_argument("--fine_sample_pnum", type=int, default=128, help="Points to sample in fine net")
+    p.add_argument("--eval_time", type=int, default=5, help="Metrics output interval (train iters)")
+    p.add_argument("--output_time", type=int, default=20, help="Image output interval (epochs)")
+    p.add_argument("--center_crop_iter", type=int, default=0, help="Use center crop for the first . iters")
+    p.add_argument("--prop_net_width", type=int, default=256, help="Width of proposal network")
+    p.add_argument("--nerf_net_width", type=int, default=256, help="Width of nerf network")
+    p.add_argument("--near", type=float, default=2.0, help="Nearest sample depth")
+    p.add_argument("--far", type=float, default=6.0, help="Farthest sample depth")
+    p.add_argument("--center_crop_x", type=float, default=0.5, help="Center crop x axis ratio")
+    p.add_argument("--center_crop_y", type=float, default=0.5, help="Center crop y axis ratio")
+    p.add_argument("--name", type=str, default="model_1", help="Model name for loading")
+    p.add_argument("--dataset_name", type=str, default="lego", help="Input dataset name in nerf synthetic dataset")
+    p.add_argument("--dataset_root", type=str, default="..", help="Directory containing <dataset_name>/ (reference used '..')")
+    p.add_argument("--img_scale", type=float, default=0.5, help="Scale of the image")
+    p.add_argument("--scene_scale", type=float, default=1.0, help="Scale of the scene")
+    p.add_argument("--grad_clip", type=float, default=-0.01, help="Gradient clipping parameter (negative = no clipping)")
+    p.add_argument("--pe_period_scale", type=float, default=0.5, help="[dead in reference; accepted and ignored]")
+    # opt related
+    p.add_argument("--opt_mode", type=str, default="O1", help="Mixed precision: none (fp32) | native/O1/O2 (bf16 compute)")
+    p.add_argument("--min_ratio", type=float, default=0.01, help="Minimum for now_lr / lr")
+    p.add_argument("--decay_rate", type=float, default=0.1, help="After <decay step>, lr = lr * <decay_rate>")
+    p.add_argument("--decay_step", type=int, default=100000, help="After <decay step>, lr = lr * <decay_rate>")
+    p.add_argument("--warmup_step", type=int, default=500, help="Warm up step (from lowest lr to starting lr)")
+    p.add_argument("--lr", type=float, default=1.5e-4, help="Start lr")
+    # short bool options
+    p.add_argument("-d", "--del_dir", default=False, action="store_true", help="Delete dir ./logs and start new records")
+    p.add_argument("-l", "--load", default=False, action="store_true", help="Load checkpoint or trained model.")
+    p.add_argument("-s", "--use_scaler", default=False, action="store_true", help="bf16 mixed-precision compute (TPU AMP)")
+    p.add_argument("-b", "--debug", default=False, action="store_true", help="Code debugging (detect NaNs eagerly)")
+    p.add_argument("-v", "--visualize", default=False, action="store_true", help="[dead in reference; accepted and ignored]")
+    p.add_argument("-r", "--do_render", default=False, action="store_true", help="Only render the result")
+    p.add_argument("-w", "--white_bkg", default=False, action="store_true", help="Output white background")
+    p.add_argument("-t", "--ref_nerf", default=False, action="store_true", help="Use Ref-NeRF model")
+    p.add_argument("-u", "--use_srgb", default=False, action="store_true", help="Whether to use srgb in the output or not")
+    p.add_argument("-e", "--eval_poses", default=False, action="store_true", help="Use test set poses to render image")
+    # long bool options
+    p.add_argument("--render_depth", default=False, action="store_true", help="Render depth image")
+    p.add_argument("--render_normal", default=False, action="store_true", help="Render normal image")
+    p.add_argument("--prop_normal", default=False, action="store_true", help="(For proposal net) Whether to learn normals")
+    # ref nerf options
+    p.add_argument("--ide_level", type=int, default=4, help="Max level of spherical harmonics to be used")
+    p.add_argument("--bottle_neck_noise", type=float, default=0.02, help="Noise std for perturbing bottle_neck vector")
+    # nerf_tpu extensions (not in the reference surface)
+    p.add_argument("--seed", type=int, default=0, help="Base PRNG seed (the reference used the unseeded global RNG)")
+    p.add_argument("--eval_chunk", type=int, default=4096, help="Rays per eval-render chunk")
+    p.add_argument("--output_dir", type=str, default="./output", help="Rendered image output dir")
+    p.add_argument("--log_dir", type=str, default="./logs", help="Metrics/tensorboard dir")
+    p.add_argument("--ckpt_dir", type=str, default="./check_points", help="Checkpoint dir")
+    p.add_argument("--no_tensorboard", default=False, action="store_true", help="JSONL metrics only")
+    return p
+
+
+def use_bf16_from_args(args) -> bool:
+    return bool(args.use_scaler) or str(args.opt_mode).lower() in ("native", "o1", "o2")
+
+
+def config_from_args(args) -> PipelineConfig:
+    return PipelineConfig(
+        model="ref" if args.ref_nerf else "vanilla",
+        near=args.near,
+        far=args.far,
+        n_coarse=args.coarse_sample_pnum,
+        n_fine=args.fine_sample_pnum,
+        ray_batch=args.sample_ray_num,
+        white_bkg=args.white_bkg,
+        use_srgb=args.use_srgb,
+        prop_normal=args.prop_normal,
+        ide_level=args.ide_level,
+        bottleneck_noise=args.bottle_neck_noise,
+        nerf_width=args.nerf_net_width,
+        prop_width=args.prop_net_width,
+        use_bf16=use_bf16_from_args(args),
+    )

@@ -1,0 +1,327 @@
+"""Unified trainer loop: single-chip, mesh-DP ("ddp"), and model averaging.
+
+Capability parity (behavior, not code) with the three reference entry loops:
+  * train.py:27-270         -> mode="single"
+  * ddp_train.py:33-304     -> mode="ddp"   (grad pmean over the 'data' axis)
+  * model_average.py:35-305 -> mode="ma"    (periodic weighted param average
+                                             over the 'replica' axis)
+
+TPU-first redesign: where the reference runs one Python iteration per image
+with per-step H2D copies and (for multi-device) one OS process per GPU, here
+the whole dataset is staged to device HBM once and an entire epoch is ONE
+compiled XLA program (lax.scan over the shuffled image order; for the
+distributed modes a shard_map'ed scan over the ('replica','data') mesh).
+The host loop only handles epoch orchestration: shuffling, logging,
+eval renders, checkpoints.
+
+The center-crop warmup (train.py:156: crop while train_cnt <
+center_crop_iter) compiles as separate crop/no-crop epoch programs; the one
+epoch containing the boundary runs per-step so the switch lands on the exact
+iteration, as in the reference.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from nerf_tpu.cli.flags import config_from_args
+from nerf_tpu.core.rays import crop_bounds
+from nerf_tpu.data.blender import BlenderDataset
+from nerf_tpu.data.sampler import LocalShuffleSampler, epoch_image_order
+from nerf_tpu.train import schedule as schedule_lib
+from nerf_tpu.train.pipeline import init_variables, make_models
+from nerf_tpu.train.renderer import render_image
+from nerf_tpu.train.step import (
+    create_train_state, make_epoch_step, make_optimizer, make_train_step,
+)
+from nerf_tpu.utils import CheckpointManager, MetricsWriter, Timer, save_image_grid
+
+
+class Trainer:
+    """Owns models/state/data and runs the epoch loop for one process."""
+
+    def __init__(self, args, mode: str = "single",
+                 train_set: Optional[BlenderDataset] = None,
+                 test_set: Optional[BlenderDataset] = None):
+        if mode not in ("single", "ddp", "ma"):
+            raise ValueError(f"unknown trainer mode {mode!r}")
+        self.args = args
+        self.mode = mode
+        self.cfg = config_from_args(args)
+        if args.debug:
+            jax.config.update("jax_debug_nans", True)
+
+        root = os.path.join(args.dataset_root, args.dataset_name)
+        use_div = mode == "ma" and getattr(args, "div", False)
+        if train_set is None:
+            train_set = BlenderDataset.load(
+                root, "train", img_scale=args.img_scale,
+                scene_scale=args.scene_scale, white_bkg=args.white_bkg,
+                use_div=use_div)
+        if test_set is None:
+            test_set = BlenderDataset.load(
+                root, "test", img_scale=args.img_scale,
+                scene_scale=args.scene_scale, white_bkg=args.white_bkg)
+        self.train_set, self.test_set = train_set, test_set
+        self.hw = train_set.image_hw
+        self.focal = train_set.focal()
+        # the reference evaluates test views 1 and 4 only (train.py:135-137)
+        n_test = len(test_set)
+        self.test_view_ids = [i for i in (1, 4) if i < n_test] or [0]
+
+        # --- models / optimizer / state -------------------------------------
+        self.models = make_models(self.cfg)
+        params = init_variables(self.cfg, jax.random.PRNGKey(args.seed))
+        actual_lr = schedule_lib.scaled_base_lr(args.lr, args.sample_ray_num)
+        self.schedule = schedule_lib.decay_schedule(
+            actual_lr, min_ratio=args.min_ratio, decay_rate=args.decay_rate,
+            decay_step=args.decay_step, warmup_step=args.warmup_step)
+        self.tx = make_optimizer(self.cfg, self.schedule,
+                                 grad_clip=args.grad_clip)
+
+        self.base_key = jax.random.PRNGKey(args.seed)
+        self.crop_window = crop_bounds(
+            *self.hw, (args.center_crop_x, args.center_crop_y))
+
+        if mode == "single":
+            self.mesh = None
+            self.n_replica, self.n_data = 1, 1
+            self.state = create_train_state(params, self.tx)
+        else:
+            from nerf_tpu.parallel import make_mesh, stack_state
+
+            n_dev = len(jax.devices())
+            self.n_replica = n_dev if mode == "ma" else 1
+            self.n_data = 1 if mode == "ma" else n_dev
+            self.mesh = make_mesh(n_data=self.n_data, n_replica=self.n_replica)
+            self.state = stack_state(params, self.tx, self.n_replica)
+
+        if mode == "ma":
+            division = train_set.division
+            self.samplers = [
+                LocalShuffleSampler(
+                    len(train_set),
+                    division if division is not None else self.n_replica,
+                    rank=r, seed=args.seed,
+                    allow_imbalance=getattr(args, "allow_imbalanced", False))
+                for r in range(self.n_replica)
+            ]
+            w = train_set.weights
+            w = (np.asarray(w, np.float32) if w is not None
+                 else np.full(self.n_replica, 1.0 / self.n_replica, np.float32))
+            self.ma_weights = jnp.asarray(w / w.sum())
+            from nerf_tpu.parallel import make_average_fn
+
+            self.average_fn = make_average_fn(
+                self.mesh, getattr(args, "ma_method", "all_reduce"))
+            self.ma_epoch = int(getattr(args, "ma_epoch", 0) or 0)
+        else:
+            self.samplers, self.ma_epoch = None, 0
+
+        # --- compiled step/epoch programs ------------------------------------
+        self._fns = {}
+        self.epoch_start = 0
+        # ops shell
+        self.ckpt = CheckpointManager(
+            os.path.join(args.ckpt_dir, args.dataset_name),
+            max_save=args.max_save, prefix=f"{args.name}_chkpt")
+        if args.load:
+            restored = self.ckpt.restore(target=self.state)
+            if restored is not None:
+                self.state, step, self.epoch_start = restored
+                print(f"Resumed from step {step}, epoch {self.epoch_start}.")
+            else:
+                print(f"Not loading: no checkpoint under {self.ckpt.directory}")
+        self.writer = MetricsWriter(
+            base_dir=args.log_dir, epochs=args.epochs, del_dir=args.del_dir,
+            use_tensorboard=not args.no_tensorboard)
+        self.train_timer, self.eval_timer = Timer(5), Timer(5)
+        self.test_cnt = 0
+
+    # --- program cache -------------------------------------------------------
+    def _epoch_fn(self, cropped: bool):
+        key = ("epoch", cropped)
+        if key not in self._fns:
+            crop = self.crop_window if cropped else None
+            if self.mode == "single":
+                self._fns[key] = make_epoch_step(
+                    self.models, self.tx, self.cfg, self.hw, self.focal,
+                    crop_window=crop, base_key=self.base_key)
+            else:
+                from nerf_tpu.parallel import make_parallel_epoch_step
+
+                self._fns[key] = make_parallel_epoch_step(
+                    self.models, self.tx, self.cfg, self.hw, self.focal,
+                    self.mesh, crop_window=crop, base_key=self.base_key,
+                    sync_prop=not getattr(self.args, "no_sync_prop", False))
+        return self._fns[key]
+
+    def _step_fn(self, cropped: bool):
+        key = ("step", cropped)
+        if key not in self._fns:
+            crop = self.crop_window if cropped else None
+            if self.mode == "single":
+                self._fns[key] = make_train_step(
+                    self.models, self.tx, self.cfg, self.hw, self.focal,
+                    crop_window=crop, base_key=self.base_key, donate=False)
+            else:
+                from nerf_tpu.parallel import make_parallel_train_step
+
+                self._fns[key] = make_parallel_train_step(
+                    self.models, self.tx, self.cfg, self.hw, self.focal,
+                    self.mesh, crop_window=crop, base_key=self.base_key,
+                    sync_prop=not getattr(self.args, "no_sync_prop", False),
+                    donate=False)
+        return self._fns[key]
+
+    # --- data orchestration ----------------------------------------------------
+    def _epoch_indices(self, ep: int) -> np.ndarray:
+        """Image visit order for epoch ``ep``.
+
+        single: (steps,) int32;  ddp/ma: (steps, n_replica, n_data) int32.
+        """
+        if self.mode == "single":
+            return epoch_image_order(len(self.train_set), ep, self.args.seed)
+        if self.mode == "ddp":
+            order = epoch_image_order(len(self.train_set), ep, self.args.seed)
+            steps = len(order) // self.n_data
+            if steps == 0:
+                raise ValueError(
+                    f"{len(order)} train images < {self.n_data} devices")
+            return order[: steps * self.n_data].reshape(steps, 1, self.n_data)
+        rows = LocalShuffleSampler.stacked_epoch_indices(self.samplers, ep)
+        return rows.T[:, :, None]  # (steps, n_replica, 1)
+
+    def eval_params(self):
+        if self.mode == "single":
+            return self.state.params
+        from nerf_tpu.parallel import unstack_params
+
+        return unstack_params(self.state.params)
+
+    # --- logging --------------------------------------------------------------
+    def _log_epoch_metrics(self, metrics, steps: int, step_base: int):
+        loss = np.asarray(metrics["loss"])
+        psnr = np.asarray(metrics["psnr"])
+        for i in range(0, steps, max(1, self.args.eval_time)):
+            step = step_base + i
+            self.writer.add_scalar("Train Loss", loss[i], step)
+            self.writer.add_scalar("PSNR", psnr[i], step)
+            self.writer.add_scalar("Learning Rate",
+                                   float(self.schedule(step)), step)
+
+    def _eval_and_checkpoint(self, ep: int):
+        self.eval_timer.tic()
+        params = self.eval_params()
+        panels, test_loss = [], 0.0
+        for vid in self.test_view_ids:
+            out = render_image(
+                params, self.test_set.poses[vid], self.hw, self.focal,
+                self.cfg, sample_num=self.cfg.n_fine,
+                render_depth=self.args.render_depth,
+                render_normal=self.args.render_normal,
+                key=jax.random.fold_in(self.base_key, 10_000 + vid),
+                chunk=self.args.eval_chunk)
+            gt = self.test_set.images[vid]
+            test_loss += float(np.mean((out["rgb"] - gt) ** 2))
+            panels.append(out["rgb"])
+            if "normal" in out:
+                panels.append(out["normal"])
+            if "depth" in out:
+                d = out["depth"]
+                panels.append(d / max(float(d.max()), 1e-8))
+        self.eval_timer.toc()
+        test_loss /= len(self.test_view_ids)
+        step = int(self.state.step)
+        self.writer.add_scalar("Test Loss", test_loss, self.test_cnt)
+        nrow = 1 + int(self.args.render_normal) + int(self.args.render_depth)
+        img_path = os.path.join(self.args.output_dir,
+                                f"result_{self.test_cnt:03d}.png")
+        save_image_grid(img_path, panels, nrow=nrow)
+        self.ckpt.save(self.state, step=step, epoch=ep)
+        print(f"Evaluation in epoch: {ep:4d} / {self.args.epochs:4d}\t"
+              f"test counter: {self.test_cnt} test loss: {test_loss:.4f}\t"
+              f"avg eval time: {self.eval_timer.get_mean_time():.4f}s -> {img_path}")
+        self.test_cnt += 1
+
+    # --- main loop --------------------------------------------------------------
+    def run_epoch(self, ep: int):
+        """One epoch; returns (steps_run, stacked metrics)."""
+        idx = self._epoch_indices(ep)
+        steps = idx.shape[0]
+        step0 = int(self.state.step)
+        cci = self.args.center_crop_iter
+        idx_dev = jnp.asarray(idx)
+
+        if cci <= step0 or cci >= step0 + steps:
+            # the whole epoch is on one side of the crop boundary
+            epoch_fn = self._epoch_fn(cropped=step0 < cci)
+            self.state, metrics = epoch_fn(
+                self.state, self.pool, self.poses, idx_dev)
+        else:
+            # boundary epoch: per-step so the switch is exact (train.py:156)
+            collected = []
+            state = self.state
+            for i in range(steps):
+                fn = self._step_fn(cropped=int(state.step) < cci)
+                state, m = fn(state, self.pool, self.poses, idx_dev[i])
+                collected.append(m)
+            self.state = state
+            metrics = jax.tree.map(lambda *xs: jnp.stack(xs), *collected)
+        return steps, metrics
+
+    def train(self):
+        args = self.args
+        os.makedirs(args.output_dir, exist_ok=True)
+        self.pool = jax.device_put(jnp.asarray(self.train_set.pixel_pool()))
+        self.poses = jax.device_put(jnp.asarray(self.train_set.poses))
+        print(f"Training: mode={self.mode} devices={len(jax.devices())} "
+              f"mesh=({self.n_replica}x{self.n_data}) images={len(self.train_set)} "
+              f"hw={self.hw} focal=({self.focal[0]:.2f},{self.focal[1]:.2f}) "
+              f"model={self.cfg.model} bf16={self.cfg.use_bf16}")
+
+        for ep in range(self.epoch_start, args.epochs):
+            self.train_timer.tic()
+            step_base = int(self.state.step)
+            steps, metrics = self.run_epoch(ep)
+            jax.block_until_ready(self.state.params)
+            dt = self.train_timer.toc()
+            self._log_epoch_metrics(metrics, steps, step_base)
+
+            if self.mode == "ma" and self.ma_epoch and \
+                    (ep + 1) % self.ma_epoch == 0:
+                t0 = time.perf_counter()
+                self.state = self.state._replace(
+                    params=self.average_fn(self.state.params, self.ma_weights))
+                jax.block_until_ready(self.state.params)
+                self.writer.add_scalar("Time/communication",
+                                       time.perf_counter() - t0, ep)
+
+            loss = float(np.asarray(metrics["loss"])[-1])
+            psnr = float(np.asarray(metrics["psnr"])[-1])
+            lr_now = float(self.schedule(int(self.state.step)))
+            rays_s = steps * self.n_data * self.cfg.ray_batch / max(dt, 1e-9)
+            print(f"Epoch {ep:4d} / {args.epochs:4d}\tloss: {loss:.4f}\t"
+                  f"PSNR: {psnr:.3f}\tlr: {lr_now:.7f}\t{rays_s:,.0f} rays/s\t"
+                  f"ETA: {self.train_timer.eta_str(args.epochs - ep - 1)}")
+            self.writer.add_scalar("Time/epoch", dt, ep)
+
+            if ((ep % args.output_time == 0) or ep == args.epochs - 1) \
+                    and ep > self.epoch_start:
+                self._eval_and_checkpoint(ep)
+
+        # final save under ./model/<name>.ckpt (train.py:261-268 parity)
+        from nerf_tpu.utils import save_checkpoint
+
+        final = os.path.join("model", f"{args.name}.ckpt")
+        save_checkpoint(final, self.state, step=int(self.state.step),
+                        epoch=args.epochs)
+        self.writer.close()
+        print(f"Training completed. Final model -> {final}")
+        return self.state

@@ -108,3 +108,29 @@ def make_parallel_train_step(models, tx, cfg: PipelineConfig, hw, focal,
         check_vma=False,
     )
     return jax.jit(sharded, donate_argnums=(0,) if donate else ())
+
+
+def make_parallel_epoch_step(models, tx, cfg: PipelineConfig, hw, focal,
+                             mesh: Mesh, crop_window=None, base_key=None,
+                             sync_prop: bool = True):
+    """Whole-epoch lax.scan of the sharded step (epoch analogue of
+    make_parallel_train_step).
+
+    Returned fn: (state, pixel_pool, poses, img_idx) -> (state, metrics) where
+    img_idx is (steps, n_replica, n_data) int32 — per step, one image per
+    device — and metrics are (steps,)-stacked mesh-means. One compiled SPMD
+    program per epoch: the XLA equivalent of the reference's per-iteration
+    DDP loop (ddp_train.py:180-246) without any per-step dispatch.
+    """
+    step = make_parallel_train_step(
+        models, tx, cfg, hw, focal, mesh,
+        crop_window=crop_window, base_key=base_key, sync_prop=sync_prop,
+        donate=False,
+    )
+
+    def epoch_fn(state: TrainState, pixel_pool, poses, img_idx):
+        return jax.lax.scan(
+            lambda c, idx: step(c, pixel_pool, poses, idx), state, img_idx
+        )
+
+    return jax.jit(epoch_fn, donate_argnums=(0,))

@@ -1,0 +1,148 @@
+"""End-to-end CLI tests: the three trainer entries + render-only, on a tiny
+on-disk Blender-layout dataset generated from the procedural scene oracle."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from nerf_tpu.cli import Trainer, get_parser, render_only
+from nerf_tpu.data.synthetic import make_synthetic_scene, write_blender_dataset
+
+
+@pytest.fixture(scope="module")
+def tiny_dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data")
+    train, test, (tr_p, te_p) = make_synthetic_scene(
+        n_train=8, n_test=5, hw=(24, 24), seed=0, n_samples=48)
+    ds_dir = root / "lego"
+    write_blender_dataset(str(ds_dir), train, tr_p, "train")
+    write_blender_dataset(str(ds_dir), test, te_p, "test")
+    return str(root)
+
+
+def _args(tiny_dataset, tmp_path, extra=(), entry_extra=None):
+    argv = [
+        "--dataset_root", tiny_dataset, "--dataset_name", "lego",
+        "--epochs", "3", "--sample_ray_num", "32",
+        "--coarse_sample_pnum", "8", "--fine_sample_pnum", "16",
+        "--nerf_net_width", "16", "--prop_net_width", "16",
+        "--img_scale", "1.0", "--output_time", "2", "--eval_time", "2",
+        "--max_save", "2", "--no_tensorboard",
+        "--output_dir", str(tmp_path / "output"),
+        "--log_dir", str(tmp_path / "logs"),
+        "--ckpt_dir", str(tmp_path / "ckpt"),
+        "--eval_chunk", "128",
+    ] + list(extra)
+    parser = get_parser()
+    if entry_extra:
+        entry_extra(parser)
+    return parser.parse_args(argv)
+
+
+@pytest.fixture(scope="module")
+def trained_workdir(tiny_dataset, tmp_path_factory):
+    """Train once (single mode) and share the workdir across tests."""
+    wd = tmp_path_factory.mktemp("workdir")
+    cwd = os.getcwd()
+    os.chdir(wd)
+    try:
+        args = _args(tiny_dataset, wd, extra=["--center_crop_iter", "4", "-w"])
+        t = Trainer(args, mode="single")
+        state = t.train()
+    finally:
+        os.chdir(cwd)
+    return wd, state
+
+
+class TestSingleTrainer:
+    def test_train_eval_checkpoint_resume(self, tiny_dataset, trained_workdir, monkeypatch):
+        tmp_path, state = trained_workdir
+        monkeypatch.chdir(tmp_path)
+        assert int(state.step) == 3 * 8  # 3 epochs x 8 images
+
+        # metrics jsonl written
+        runs = []
+        for dirpath, _, files in os.walk(tmp_path / "logs"):
+            runs += [os.path.join(dirpath, f) for f in files if f == "metrics.jsonl"]
+        assert runs, "no metrics.jsonl written"
+        tags = {json.loads(l)["tag"] for l in open(runs[0])}
+        assert {"Train Loss", "PSNR", "Learning Rate", "Test Loss"} <= tags
+
+        # eval grid image + rotating checkpoints exist
+        outs = os.listdir(tmp_path / "output")
+        assert any(f.startswith("result_") for f in outs)
+        ckpts = os.listdir(tmp_path / "ckpt" / "lego")
+        assert any(f.endswith(".ckpt") for f in ckpts)
+        assert os.path.exists(tmp_path / "model" / "model_1.ckpt")
+
+        # resume continues the counters
+        args2 = _args(tiny_dataset, tmp_path, extra=["-l", "--epochs", "4", "-w"])
+        t2 = Trainer(args2, mode="single")
+        # the checkpoint was written after epoch 2 completed (step 24);
+        # resume re-runs that epoch, matching the reference (train.py:128-130)
+        assert t2.epoch_start == 2
+        assert int(t2.state.step) == 24
+
+    def test_render_only_eval_poses(self, tiny_dataset, trained_workdir, monkeypatch):
+        tmp_path, _ = trained_workdir
+        monkeypatch.chdir(tmp_path)  # reuses model/ from the trained workdir
+        args = _args(tiny_dataset, tmp_path, extra=["-r", "-e", "-w"])
+        psnr = render_only(args)
+        assert psnr is not None and np.isfinite(psnr)
+        assert os.path.exists(tmp_path / "output" / "given" / "result_000.png")
+
+    def test_render_only_orbit_smoke(self, tiny_dataset, trained_workdir, monkeypatch):
+        tmp_path, _ = trained_workdir
+        monkeypatch.chdir(tmp_path)
+        args = _args(tiny_dataset, tmp_path, extra=["-r", "-w"])
+        # shorten the orbit for test time
+        import nerf_tpu.cli.render as render_mod
+
+        orig = render_mod.orbit_poses
+        render_mod.orbit_poses = lambda n, **kw: orig(2, **kw)
+        try:
+            render_only(args)
+        finally:
+            render_mod.orbit_poses = orig
+        assert os.path.exists(tmp_path / "output" / "sphere" / "result_001.png")
+
+
+class TestDistributedTrainers:
+    def test_ddp_mode(self, tiny_dataset, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+
+        def extra(parser):
+            parser.add_argument("--no_sync_prop", default=False,
+                                action="store_true")
+
+        args = _args(tiny_dataset, tmp_path, extra=["--epochs", "2", "-w"],
+                     entry_extra=extra)
+        t = Trainer(args, mode="ddp")
+        assert t.n_data == 8
+        state = t.train()
+        assert int(state.step) == 2  # 8 images / 8 devices = 1 step per epoch
+
+    def test_ma_mode(self, tiny_dataset, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+
+        def extra(parser):
+            parser.add_argument("--ma_epoch", type=int, default=2)
+            parser.add_argument("--ma_method", type=str, default="all_reduce")
+            parser.add_argument("-div", "--div", default=False,
+                                action="store_true")
+            parser.add_argument("--allow_imbalanced", default=False,
+                                action="store_true")
+
+        args = _args(tiny_dataset, tmp_path, extra=["--epochs", "2", "-w"],
+                     entry_extra=extra)
+        t = Trainer(args, mode="ma")
+        assert t.n_replica == 8
+        state = t.train()
+        # after averaging at epoch 2, all replicas hold identical params
+        import jax
+
+        for leaf in jax.tree.leaves(state.params):
+            arr = np.asarray(leaf)
+            np.testing.assert_allclose(arr[0], arr[-1], rtol=1e-5)

@@ -1,0 +1,122 @@
+"""Tests for the ops shell: checkpointing, timer, metrics, images, debug."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerf_tpu.utils import (
+    CheckpointManager, MetricsWriter, Timer, check_finite, load_checkpoint,
+    nan_debug, save_checkpoint, save_image_grid, to_uint8,
+)
+
+
+def _tree(seed=0):
+    k = jax.random.PRNGKey(seed)
+    return {
+        "nerf": {"w": jax.random.normal(k, (4, 8)), "b": jnp.zeros((8,))},
+        "prop": {"w": jnp.ones((3, 3)) * seed},
+    }
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        tree = _tree(3)
+        p = save_checkpoint(str(tmp_path / "c.ckpt"), tree, step=42, epoch=7)
+        state, step, epoch = load_checkpoint(p, target=tree)
+        assert step == 42 and epoch == 7
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b)),
+            tree, state,
+        )
+
+    def test_rotation_window(self, tmp_path):
+        mgr = CheckpointManager(str(tmp_path), max_save=3)
+        for i in range(7):
+            mgr.save(_tree(i), step=i, epoch=i * 2)
+        files = [f for f in os.listdir(tmp_path) if f.endswith(".ckpt")]
+        assert len(files) == 3  # window, not 7 files
+        state, step, epoch = mgr.restore(target=_tree(0))
+        assert step == 6 and epoch == 12
+        np.testing.assert_allclose(np.asarray(state["prop"]["w"]), 6.0)
+
+    def test_resume_counters_across_manager_instances(self, tmp_path):
+        mgr = CheckpointManager(str(tmp_path), max_save=2)
+        mgr.save(_tree(1), step=10, epoch=1)
+        # a fresh manager (new process) continues the rotation + resumes
+        mgr2 = CheckpointManager(str(tmp_path), max_save=2)
+        _, step, epoch = mgr2.restore(target=_tree(0))
+        assert (step, epoch) == (10, 1)
+        mgr2.save(_tree(2), step=20, epoch=2)
+        _, step, _ = mgr2.restore(target=_tree(0))
+        assert step == 20
+
+    def test_empty_restore(self, tmp_path):
+        assert CheckpointManager(str(tmp_path)).restore() is None
+
+
+class TestTimer:
+    def test_windowed_mean_and_eta(self):
+        t = [0.0]
+
+        def clock():
+            return t[0]
+
+        timer = Timer(window=2, clock=clock)
+        for dt in (1.0, 2.0, 4.0):  # window keeps the last two: 2, 4
+            timer.tic()
+            t[0] += dt
+            timer.toc()
+        assert timer.get_mean_time() == pytest.approx(3.0)
+        assert timer.remaining_time(10) == pytest.approx(30.0)
+        assert timer.eta_str(10) == "30s"
+        assert Timer.format_seconds(3723) == "1h 2m 3s"
+
+
+class TestMetricsWriter:
+    def test_jsonl_mirror(self, tmp_path):
+        with MetricsWriter(run_dir=str(tmp_path / "run"), use_tensorboard=False) as w:
+            w.add_scalar("Train Loss", 0.5, 1)
+            w.add_scalars({"PSNR": 30.0, "Learning Rate": 1e-4}, 2)
+        lines = [json.loads(l) for l in
+                 open(tmp_path / "run" / "metrics.jsonl")]
+        assert {l["tag"] for l in lines} == {"Train Loss", "PSNR", "Learning Rate"}
+        assert lines[0]["step"] == 1 and lines[0]["value"] == 0.5
+
+    def test_timestamped_run_dir(self, tmp_path):
+        w = MetricsWriter(base_dir=str(tmp_path / "logs"), epochs=2400,
+                          use_tensorboard=False)
+        assert "epoch2400" in w.run_dir and os.path.isdir(w.run_dir)
+        w.close()
+
+
+class TestImage:
+    def test_to_uint8_clip_and_gray(self):
+        out = to_uint8(np.array([[[1.5], [-0.2]]], np.float32))
+        assert out.shape == (1, 2, 3)
+        assert out[0, 0, 0] == 255 and out[0, 1, 0] == 0
+
+    def test_grid_layout(self, tmp_path):
+        imgs = [np.full((4, 6, 3), v, np.float32) for v in (0.0, 0.5, 1.0)]
+        p = save_image_grid(str(tmp_path / "g.png"), imgs, nrow=3)
+        from PIL import Image
+
+        grid = np.asarray(Image.open(p))
+        assert grid.shape == (4, 3 * 6 + 2 * 2, 3)  # one row, 2px padding
+
+
+class TestDebug:
+    def test_check_finite_raises_with_path(self):
+        bad = {"a": jnp.ones(3), "b": jnp.array([1.0, jnp.nan])}
+        with pytest.raises(FloatingPointError, match="b"):
+            check_finite(bad, "grads")
+        check_finite({"a": jnp.ones(3)})  # no raise
+
+    def test_nan_debug_restores_flag(self):
+        before = jax.config.jax_debug_nans
+        with nan_debug(True):
+            assert jax.config.jax_debug_nans
+        assert jax.config.jax_debug_nans == before
