@@ -104,6 +104,14 @@ class Trainer:
 
         if mode == "ma":
             division = train_set.division
+            if division is not None:
+                n_div = int(np.max(division)) + 1
+                if n_div != self.n_replica:
+                    raise ValueError(
+                        f"dataset division has {n_div} groups but the mesh has "
+                        f"{self.n_replica} replicas (devices); re-run "
+                        f"tools/pose_division.py for {self.n_replica} groups "
+                        f"or drop -div")
             self.samplers = [
                 LocalShuffleSampler(
                     len(train_set),
@@ -113,6 +121,10 @@ class Trainer:
                 for r in range(self.n_replica)
             ]
             w = train_set.weights
+            if w is not None and len(w) != self.n_replica:
+                raise ValueError(
+                    f"dataset has {len(w)} division weights for "
+                    f"{self.n_replica} replicas")
             w = (np.asarray(w, np.float32) if w is not None
                  else np.full(self.n_replica, 1.0 / self.n_replica, np.float32))
             self.ma_weights = jnp.asarray(w / w.sum())
