@@ -77,6 +77,9 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--log_dir", type=str, default="./logs", help="Metrics/tensorboard dir")
     p.add_argument("--ckpt_dir", type=str, default="./check_points", help="Checkpoint dir")
     p.add_argument("--no_tensorboard", default=False, action="store_true", help="JSONL metrics only")
+    p.add_argument("--pallas", default=False, action="store_true",
+                   help="fused Pallas MLP kernels for the vanilla hot path "
+                        "(ops/fused_mlp.py); XLA is the default and oracle")
     return p
 
 
@@ -100,4 +103,5 @@ def config_from_args(args) -> PipelineConfig:
         nerf_width=args.nerf_net_width,
         prop_width=args.prop_net_width,
         use_bf16=use_bf16_from_args(args),
+        use_pallas=getattr(args, "pallas", False),
     )

@@ -143,13 +143,23 @@ def weight_bounds(prop_weights: jnp.ndarray, below_idx: jnp.ndarray) -> jnp.ndar
     """
     from nerf_tpu.core.fastmath import cumsum_mm
 
-    r = prop_weights.shape[0]
+    r, p = prop_weights.shape
     starts = below_idx[..., :-1]
     ends = below_idx[..., 1:] + 1
     sat = jnp.concatenate(
         [jnp.zeros((r, 1), jnp.float32), cumsum_mm(prop_weights)], axis=-1
     )
-    return jnp.take_along_axis(sat, ends, axis=-1) - jnp.take_along_axis(sat, starts, axis=-1)
+    # Gather-free: take_along_axis here costs ~4.5 ms/step on a v5e (the
+    # gathers and their backward scatters were the single hottest ops in the
+    # whole train step). (onehot(ends) - onehot(starts)) @ sat is one batched
+    # MXU matvec whose transpose is another matmul — no scatter anywhere.
+    iota = jnp.arange(p + 1, dtype=jnp.int32)
+    sel = ((ends[..., None] == iota).astype(sat.dtype)
+           - (starts[..., None] == iota).astype(sat.dtype))  # (R, K, P+1)
+    return jax.lax.dot_general(
+        sel, sat, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
 
 
 def merge_coarse_fine(c_z: jnp.ndarray, f_z: jnp.ndarray, f_idx=None):

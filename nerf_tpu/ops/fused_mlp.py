@@ -1,0 +1,416 @@
+"""Fused whole-network MLP kernels (Pallas TPU) with custom-VJP backward.
+
+Why: at the default config the fine network evaluates 1024 x 129 points
+through 8 dense layers of width 256. Under stock XLA each layer writes its
+(132k, 256) activation to HBM and reads it back — >1 GB of traffic per
+forward, which is the measured bottleneck (tools/profile_step.py: the fine
+forward costs ~2.3 ms on a v5e, of which ~1.3 ms is pure activation
+bandwidth). These kernels evaluate the ENTIRE network for a tile of points
+inside VMEM: weights stay resident (~1 MB bf16), activations never touch HBM.
+
+Backward: a second kernel recomputes the tile's forward in VMEM (cheaper
+than saving activations to HBM — that would re-create exactly the traffic
+being eliminated) and accumulates weight/bias gradients across the grid.
+TPU Pallas grids execute sequentially, so `grad_ref[...] += partial` with a
+zero-init at program 0 is a race-free reduction. Input cotangents are zero
+by construction: in this pipeline the MLP inputs are positional encodings of
+sampled points, which receive no gradient (sampling weights are detached,
+reference utils.py:36) — asserted at the integration layer, which falls back
+to the XLA path whenever input gradients are required (e.g. Ref-NeRF normals).
+
+Two network topologies, matching the flax modules bit-for-bit in structure:
+  * vanilla  — VanillaNeRF (models/vanilla.py): enc_x -> 4-layer block ->
+    skip concat -> 3-layer block -> {sigma head, bottleneck} ->
+    rgb head over cat(bottleneck, enc_d). The skip/cat concats are folded
+    into split matmuls (x @ W[:d] + h @ W[d:]) so no concatenated tensor is
+    ever materialized.
+  * prop     — ProposalNetwork (models/proposal.py): enc_x -> 4 relu layers
+    -> scalar density.
+
+Reference for the architecture being fused: /root/reference/nerf/
+mip_model.py:15-60 and addtional.py:53-96.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+F32 = jnp.float32
+
+
+def _relu(x):
+    return jnp.maximum(x, 0.0)
+
+
+def _dense(h, w_ref, b_ref=None):
+    out = jnp.dot(h, w_ref[:], preferred_element_type=F32)
+    return out if b_ref is None else out + b_ref[:]
+
+
+def _dxw(a, delta):
+    """a^T @ delta for (T, M) x (T, N) -> (M, N) fp32 weight-grad partial."""
+    return jax.lax.dot_general(a, delta, (((0,), (0,)), ((), ())),
+                               preferred_element_type=F32)
+
+
+def _dwt(delta, w_ref):
+    """delta @ W^T for (T, N) x (M, N) -> (T, M)."""
+    return jax.lax.dot_general(delta, w_ref[:], (((1,), (1,)), ((), ())),
+                               preferred_element_type=F32)
+
+
+# ---------------------------------------------------------------------------
+# vanilla NeRF network
+# ---------------------------------------------------------------------------
+
+# weight tuple order (kernels (in, out); biases (1, out)):
+#  0: w0  (Dx, H)    block1 layer 0          1: b0
+#  2: w1  (H, H)                             3: b1
+#  4: w2  (H, H)                             5: b2
+#  6: w3  (H, H)                             7: b3
+#  8: w4a (Dx, H)    block2 layer 0, skip part
+#  9: w4b (H, H)     block2 layer 0, hidden part     10: b4
+# 11: w5  (H, H)                             12: b5
+# 13: w6  (H, B)                             14: b6
+# 15: wsig (B, 1)                            16: bsig
+# 17: wb  (B, B)                             18: bb
+# 19: wr1a (B, R)    rgb layer 0, bottleneck part
+# 20: wr1b (Dd, R)   rgb layer 0, direction part     21: br1
+# 22: wr2 (R, 3)                             23: br2
+N_VANILLA_WS = 24
+
+
+def _vanilla_forward_tile(x, d, r):
+    """Shared fwd math over VMEM refs; returns all activations."""
+    (w0, b0, w1, b1, w2, b2, w3, b3, w4a, w4b, b4, w5, b5, w6, b6,
+     wsig, bsig, wb, bb, wr1a, wr1b, br1, wr2, br2) = r
+    cd = x.dtype
+    h1 = _relu(_dense(x, w0, b0)).astype(cd)
+    h2 = _relu(_dense(h1, w1, b1)).astype(cd)
+    h3 = _relu(_dense(h2, w2, b2)).astype(cd)
+    h4 = _relu(_dense(h3, w3, b3)).astype(cd)
+    z5 = _relu(_dense(x, w4a) + _dense(h4, w4b, b4)).astype(cd)
+    z6 = _relu(_dense(z5, w5, b5)).astype(cd)
+    z7 = _relu(_dense(z6, w6, b6)).astype(cd)
+    sigma = _dense(z7, wsig, bsig)                          # (T, 1) f32
+    bvec = _dense(z7, wb, bb).astype(cd)                    # (T, B)
+    r1 = _relu(_dense(bvec, wr1a) + _dense(d, wr1b, br1)).astype(cd)  # (T, R)
+    logit = _dense(r1, wr2, br2)                            # (T, 3) f32
+    rgb = jax.nn.sigmoid(logit)
+    return h1, h2, h3, h4, z5, z6, z7, sigma, bvec, r1, rgb
+
+
+def _vanilla_fwd_kernel(encx_ref, encd_ref, *rest):
+    r, out_ref = rest[:N_VANILLA_WS], rest[N_VANILLA_WS]
+    acts = _vanilla_forward_tile(encx_ref[:], encd_ref[:], r)
+    sigma, rgb = acts[7], acts[10]
+    out_ref[:] = jnp.concatenate([rgb, sigma], axis=1)
+
+
+def _vanilla_bwd_kernel(encx_ref, encd_ref, g_ref, *rest):
+    r, grads = rest[:N_VANILLA_WS], rest[N_VANILLA_WS:]
+    (w0, b0, w1, b1, w2, b2, w3, b3, w4a, w4b, b4, w5, b5, w6, b6,
+     wsig, bsig, wb, bb, wr1a, wr1b, br1, wr2, br2) = r
+    x, d = encx_ref[:], encd_ref[:]
+    cd = x.dtype
+    h1, h2, h3, h4, z5, z6, z7, _, bvec, r1, rgb = \
+        _vanilla_forward_tile(x, d, r)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for gref in grads:
+            gref[:] = jnp.zeros_like(gref)
+
+    g = g_ref[:]
+    grgb, gsig = g[:, :3], g[:, 3:4]
+    dlogit = (grgb * rgb * (1.0 - rgb)).astype(cd)
+    dr1 = jnp.where(r1.astype(F32) > 0, _dwt(dlogit, wr2), 0.0).astype(cd)
+    dbvec = _dwt(dr1, wr1a)
+    gsig_c = gsig.astype(cd)
+    dz7 = _dwt(dbvec.astype(cd), wb) + _dwt(gsig_c, wsig)
+    dz7 = jnp.where(z7.astype(F32) > 0, dz7, 0.0).astype(cd)
+    dz6 = jnp.where(z6.astype(F32) > 0, _dwt(dz7, w6), 0.0).astype(cd)
+    dz5 = jnp.where(z5.astype(F32) > 0, _dwt(dz6, w5), 0.0).astype(cd)
+    dh4 = jnp.where(h4.astype(F32) > 0, _dwt(dz5, w4b), 0.0).astype(cd)
+    dh3 = jnp.where(h3.astype(F32) > 0, _dwt(dh4, w3), 0.0).astype(cd)
+    dh2 = jnp.where(h2.astype(F32) > 0, _dwt(dh3, w2), 0.0).astype(cd)
+    dh1 = jnp.where(h1.astype(F32) > 0, _dwt(dh2, w1), 0.0).astype(cd)
+
+    def _bsum(delta):
+        return jnp.sum(delta.astype(F32), axis=0, keepdims=True)
+
+    (dw0, db0, dw1, db1, dw2, db2, dw3, db3, dw4a, dw4b, db4, dw5, db5,
+     dw6, db6, dwsig, dbsig, dwb, dbb, dwr1a, dwr1b, dbr1, dwr2, dbr2) = grads
+    dw0[:] += _dxw(x, dh1);      db0[:] += _bsum(dh1)
+    dw1[:] += _dxw(h1, dh2);     db1[:] += _bsum(dh2)
+    dw2[:] += _dxw(h2, dh3);     db2[:] += _bsum(dh3)
+    dw3[:] += _dxw(h3, dh4);     db3[:] += _bsum(dh4)
+    dw4a[:] += _dxw(x, dz5)
+    dw4b[:] += _dxw(h4, dz5);    db4[:] += _bsum(dz5)
+    dw5[:] += _dxw(z5, dz6);     db5[:] += _bsum(dz6)
+    dw6[:] += _dxw(z6, dz7);     db6[:] += _bsum(dz7)
+    dwsig[:] += _dxw(z7, gsig_c); dbsig[:] += _bsum(gsig_c)
+    dwb[:] += _dxw(z7, dbvec.astype(cd)); dbb[:] += _bsum(dbvec)
+    dwr1a[:] += _dxw(bvec, dr1)
+    dwr1b[:] += _dxw(d, dr1);    dbr1[:] += _bsum(dr1)
+    dwr2[:] += _dxw(r1, dlogit); dbr2[:] += _bsum(dlogit)
+
+
+def _pad_rows(a, tile):
+    n = a.shape[0]
+    pad = (-n) % tile
+    if pad:
+        a = jnp.concatenate(
+            [a, jnp.zeros((pad, a.shape[1]), a.dtype)], axis=0)
+    return a
+
+
+def _full_spec(shape):
+    return pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+
+def _row_spec(tile, width):
+    return pl.BlockSpec((tile, width), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+
+
+@functools.lru_cache(maxsize=None)
+def make_vanilla_fused(compute_dtype=jnp.bfloat16, tile: int = 512,
+                       interpret: bool = False):
+    """Build the fused VanillaNeRF apply: (ws, enc_x, enc_d) -> (rgb, sigma).
+
+    ws: tuple of N_VANILLA_WS arrays (see order above); kernels in any float
+    dtype (cast to ``compute_dtype`` on entry, so fp32 master params are
+    fine); biases fp32 of shape (1, width). enc_x (N, Dx), enc_d (N, Dd).
+    Input cotangents are ZERO (see module docstring) — only use where the
+    encodings carry no gradient.
+    """
+    cd = compute_dtype
+
+    def _prep(ws, enc_x, enc_d):
+        # biases are (1, W) and stay fp32; weight matrices use compute_dtype
+        ws = tuple(
+            w.astype(F32) if w.shape[0] == 1 else w.astype(cd) for w in ws
+        )
+        return ws, enc_x.astype(cd), enc_d.astype(cd)
+
+    def _fwd_impl(ws, enc_x, enc_d):
+        n = enc_x.shape[0]
+        ws, x, d = _prep(ws, enc_x, enc_d)
+        x = _pad_rows(x, tile)
+        d = _pad_rows(d, tile)
+        grid = (x.shape[0] // tile,)
+        out = pl.pallas_call(
+            _vanilla_fwd_kernel,
+            grid=grid,
+            in_specs=[_row_spec(tile, x.shape[1]),
+                      _row_spec(tile, d.shape[1])]
+            + [_full_spec(w.shape) for w in ws],
+            out_specs=_row_spec(tile, 4),
+            out_shape=jax.ShapeDtypeStruct((x.shape[0], 4), F32),
+            interpret=interpret,
+        )(x, d, *ws)
+        return out[:n, :3], out[:n, 3]
+
+    @jax.custom_vjp
+    def fused(ws, enc_x, enc_d):
+        return _fwd_impl(ws, enc_x, enc_d)
+
+    def fused_fwd(ws, enc_x, enc_d):
+        return _fwd_impl(ws, enc_x, enc_d), (ws, enc_x, enc_d)
+
+    def fused_bwd(res, g):
+        ws, enc_x, enc_d = res
+        g_rgb, g_sigma = g
+        n = enc_x.shape[0]
+        wsc, x, d = _prep(ws, enc_x, enc_d)
+        x = _pad_rows(x, tile)
+        d = _pad_rows(d, tile)
+        gfull = _pad_rows(
+            jnp.concatenate(
+                [g_rgb.astype(F32), g_sigma.astype(F32)[:, None]], axis=1),
+            tile)
+        grid = (x.shape[0] // tile,)
+        grads = pl.pallas_call(
+            _vanilla_bwd_kernel,
+            grid=grid,
+            in_specs=[_row_spec(tile, x.shape[1]),
+                      _row_spec(tile, d.shape[1]),
+                      _row_spec(tile, 4)]
+            + [_full_spec(w.shape) for w in wsc],
+            out_specs=tuple(_full_spec(w.shape) for w in wsc),
+            out_shape=tuple(
+                jax.ShapeDtypeStruct(w.shape, F32) for w in wsc),
+            interpret=interpret,
+        )(x, d, gfull, *wsc)
+        dws = tuple(dg.astype(w.dtype) for dg, w in zip(grads, ws))
+        return dws, jnp.zeros_like(enc_x), jnp.zeros_like(enc_d)
+
+    fused.defvjp(fused_fwd, fused_bwd)
+    return fused
+
+
+def vanilla_weights_from_params(params):
+    """flax VanillaNeRF params -> the kernel's flat weight tuple.
+
+    Differentiable (slicing/reshape only), so grads flow back into the flax
+    pytree through the train step unchanged.
+    """
+    b1 = params["block1"]
+    b2 = params["block2"]
+    rgb = params["rgb_layer"]
+
+    def kb(layer):
+        return layer["kernel"], layer["bias"].reshape(1, -1)
+
+    w0, b0 = kb(b1["Dense_0"])
+    w1, b1_ = kb(b1["Dense_1"])
+    w2, b2_ = kb(b1["Dense_2"])
+    w3, b3_ = kb(b1["Dense_3"])
+    dx = w0.shape[0]
+    w4, b4 = kb(b2["Dense_0"])
+    w4a, w4b = w4[:dx], w4[dx:]
+    w5, b5 = kb(b2["Dense_1"])
+    w6, b6 = kb(b2["Dense_2"])
+    wsig, bsig = kb(params["opacity_head"])
+    wb, bb = kb(params["bottle_neck"])
+    wr1, br1 = kb(rgb["Dense_0"])
+    bneck = wb.shape[1]
+    wr1a, wr1b = wr1[:bneck], wr1[bneck:]
+    wr2, br2 = kb(rgb["Dense_1"])
+    return (w0, b0, w1, b1_, w2, b2_, w3, b3_, w4a, w4b, b4, w5, b5, w6, b6,
+            wsig, bsig, wb, bb, wr1a, wr1b, br1, wr2, br2)
+
+
+# ---------------------------------------------------------------------------
+# proposal network
+# ---------------------------------------------------------------------------
+
+N_PROP_WS = 10  # w0 b0 w1 b1 w2 b2 w3 b3 wout bout
+
+
+def _prop_forward_tile(x, r):
+    w0, b0, w1, b1, w2, b2, w3, b3, wo, bo = r
+    cd = x.dtype
+    h1 = _relu(_dense(x, w0, b0)).astype(cd)
+    h2 = _relu(_dense(h1, w1, b1)).astype(cd)
+    h3 = _relu(_dense(h2, w2, b2)).astype(cd)
+    h4 = _relu(_dense(h3, w3, b3)).astype(cd)
+    out = _dense(h4, wo, bo)  # (T, 1) f32
+    return h1, h2, h3, h4, out
+
+
+def _prop_fwd_kernel(encx_ref, *rest):
+    r, out_ref = rest[:N_PROP_WS], rest[N_PROP_WS]
+    out_ref[:] = _prop_forward_tile(encx_ref[:], r)[-1]
+
+
+def _prop_bwd_kernel(encx_ref, g_ref, *rest):
+    r, grads = rest[:N_PROP_WS], rest[N_PROP_WS:]
+    w0, b0, w1, b1, w2, b2, w3, b3, wo, bo = r
+    x = encx_ref[:]
+    cd = x.dtype
+    h1, h2, h3, h4, _ = _prop_forward_tile(x, r)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for gref in grads:
+            gref[:] = jnp.zeros_like(gref)
+
+    go = g_ref[:].astype(cd)                    # (T, 1)
+    dh4 = jnp.where(h4.astype(F32) > 0, _dwt(go, wo), 0.0).astype(cd)
+    dh3 = jnp.where(h3.astype(F32) > 0, _dwt(dh4, w3), 0.0).astype(cd)
+    dh2 = jnp.where(h2.astype(F32) > 0, _dwt(dh3, w2), 0.0).astype(cd)
+    dh1 = jnp.where(h1.astype(F32) > 0, _dwt(dh2, w1), 0.0).astype(cd)
+
+    def _bsum(delta):
+        return jnp.sum(delta.astype(F32), axis=0, keepdims=True)
+
+    dw0, db0, dw1, db1, dw2, db2, dw3, db3, dwo, dbo = grads
+    dw0[:] += _dxw(x, dh1);  db0[:] += _bsum(dh1)
+    dw1[:] += _dxw(h1, dh2); db1[:] += _bsum(dh2)
+    dw2[:] += _dxw(h2, dh3); db2[:] += _bsum(dh3)
+    dw3[:] += _dxw(h3, dh4); db3[:] += _bsum(dh4)
+    dwo[:] += _dxw(h4, go);  dbo[:] += _bsum(go)
+
+
+@functools.lru_cache(maxsize=None)
+def make_prop_fused(compute_dtype=jnp.bfloat16, tile: int = 512,
+                    interpret: bool = False):
+    """Fused ProposalNetwork apply: (ws, enc_x) -> raw density (N,).
+
+    Same contract as make_vanilla_fused (zero input cotangent)."""
+    cd = compute_dtype
+
+    def _prep(ws, enc_x):
+        ws = tuple(
+            w.astype(F32) if w.shape[0] == 1 else w.astype(cd) for w in ws
+        )
+        return ws, enc_x.astype(cd)
+
+    def _fwd_impl(ws, enc_x):
+        n = enc_x.shape[0]
+        ws, x = _prep(ws, enc_x)
+        x = _pad_rows(x, tile)
+        grid = (x.shape[0] // tile,)
+        out = pl.pallas_call(
+            _prop_fwd_kernel,
+            grid=grid,
+            in_specs=[_row_spec(tile, x.shape[1])]
+            + [_full_spec(w.shape) for w in ws],
+            out_specs=_row_spec(tile, 1),
+            out_shape=jax.ShapeDtypeStruct((x.shape[0], 1), F32),
+            interpret=interpret,
+        )(x, *ws)
+        return out[:n, 0]
+
+    @jax.custom_vjp
+    def fused(ws, enc_x):
+        return _fwd_impl(ws, enc_x)
+
+    def fused_fwd(ws, enc_x):
+        return _fwd_impl(ws, enc_x), (ws, enc_x)
+
+    def fused_bwd(res, g):
+        ws, enc_x = res
+        n = enc_x.shape[0]
+        wsc, x = _prep(ws, enc_x)
+        x = _pad_rows(x, tile)
+        gfull = _pad_rows(g.astype(F32)[:, None], tile)
+        grid = (x.shape[0] // tile,)
+        grads = pl.pallas_call(
+            _prop_bwd_kernel,
+            grid=grid,
+            in_specs=[_row_spec(tile, x.shape[1]), _row_spec(tile, 1)]
+            + [_full_spec(w.shape) for w in wsc],
+            out_specs=tuple(_full_spec(w.shape) for w in wsc),
+            out_shape=tuple(
+                jax.ShapeDtypeStruct(w.shape, F32) for w in wsc),
+            interpret=interpret,
+        )(x, gfull, *wsc)
+        dws = tuple(dg.astype(w.dtype) for dg, w in zip(grads, ws))
+        return dws, jnp.zeros_like(enc_x)
+
+    fused.defvjp(fused_fwd, fused_bwd)
+    return fused
+
+
+def prop_weights_from_params(params):
+    """flax ProposalNetwork params -> the kernel's flat weight tuple."""
+    hidden = params["MLP_0"]
+    out = params["MLP_1"]
+
+    def kb(layer):
+        return layer["kernel"], layer["bias"].reshape(1, -1)
+
+    w0, b0 = kb(hidden["Dense_0"])
+    w1, b1 = kb(hidden["Dense_1"])
+    w2, b2 = kb(hidden["Dense_2"])
+    w3, b3 = kb(hidden["Dense_3"])
+    wo, bo = kb(out["Dense_0"])
+    return (w0, b0, w1, b1, w2, b2, w3, b3, wo, bo)

@@ -36,6 +36,11 @@ class PipelineConfig:
     entropy_acc_threshold: float = 0.1
     # numerics
     use_bf16: bool = False            # TPU-native replacement for APEX AMP (-s)
+    # Pallas fused-MLP kernels for the hot path (ops/fused_mlp.py); the
+    # XLA/flax path remains the correctness oracle and the fallback wherever
+    # input gradients are required (Ref-NeRF density normals)
+    use_pallas: bool = False
+    pallas_tile: int = 512
     # quirk toggles (see SURVEY.md section 7 "faithfulness decisions")
     legacy_focal: bool = False        # reproduce utils.py:103-105 focal bug
 

@@ -58,6 +58,56 @@ def init_variables(cfg: PipelineConfig, key) -> Dict[str, Any]:
 # proposal stage (shared by train and eval)
 # ---------------------------------------------------------------------------
 
+def _fused_kernel_args(cfg: PipelineConfig):
+    from nerf_tpu import ops
+
+    dtype = jnp.bfloat16 if cfg.use_bf16 else jnp.float32
+    return dtype, cfg.pallas_tile, not ops.pallas_supported()
+
+
+def _apply_vanilla(nerf: VanillaNeRF, params, pos, dirs, cfg: PipelineConfig):
+    """VanillaNeRF apply — fused Pallas kernel or the flax/XLA oracle.
+
+    The fused path is valid here because pos/dirs carry no gradient (sampled
+    depths are detached, sampling.py:105; rays are data)."""
+    if not cfg.use_pallas:
+        return nerf.apply({"params": params}, pos, dirs)
+    from nerf_tpu import ops
+    from nerf_tpu.core.encoding import positional_encoding
+
+    # the fused kernel's input cotangents are zero; stop_gradient makes the
+    # (dead) encoding-transpose chain DCE-able instead of multiplying zeros
+    pos = jax.lax.stop_gradient(pos)
+    dirs = jax.lax.stop_gradient(dirs)
+    r, p = pos.shape[:2]
+    pos_f = pos.reshape(r * p, 3)
+    dirs_f = dirs.reshape(r * p, 3)
+    dirs_n = dirs_f / jnp.linalg.norm(dirs_f, axis=-1, keepdims=True)
+    enc_x = jnp.concatenate(
+        [pos_f, positional_encoding(pos_f, nerf.pos_levels)], axis=-1)
+    enc_d = jnp.concatenate(
+        [dirs_n, positional_encoding(dirs_n, nerf.dir_levels)], axis=-1)
+    fused = ops.make_vanilla_fused(*_fused_kernel_args(cfg))
+    rgb, sigma = fused(ops.vanilla_weights_from_params(params), enc_x, enc_d)
+    return rgb.reshape(r, p, 3), sigma.reshape(r, p)
+
+
+def _apply_prop(prop: ProposalNetwork, params, pts, cfg: PipelineConfig):
+    """ProposalNetwork apply — fused kernel when no input grads are needed."""
+    if not cfg.use_pallas:
+        return prop.apply({"params": params}, pts)
+    from nerf_tpu import ops
+    from nerf_tpu.core.encoding import positional_encoding
+
+    pts = jax.lax.stop_gradient(pts)
+    r, p = pts.shape[:2]
+    pts_f = pts.reshape(r * p, 3)
+    enc = jnp.concatenate(
+        [pts_f, positional_encoding(pts_f, prop.pos_levels)], axis=-1)
+    fused = ops.make_prop_fused(*_fused_kernel_args(cfg))
+    return fused(ops.prop_weights_from_params(params), enc).reshape(r, p)
+
+
 def _proposal_weights(prop: ProposalNetwork, prop_params, rays, c_z, cfg,
                       train: bool, with_grad: bool = False):
     """Run the proposal net and produce max-blurred sampling weights.
@@ -70,7 +120,11 @@ def _proposal_weights(prop: ProposalNetwork, prop_params, rays, c_z, cfg,
     c_pts = render_lib.lengths_to_points(rays, c_z)
 
     def density_fn(p):
-        return prop.apply({"params": prop_params}, p)
+        if with_grad:
+            # the fused kernel has zero input cotangents; d(density)/d(pos)
+            # for proposal normals must go through the flax/XLA path
+            return prop.apply({"params": prop_params}, p)
+        return _apply_prop(prop, prop_params, p, cfg)
 
     coarse_grad = None
     if with_grad:
@@ -173,7 +227,7 @@ def render_rays_train(models, variables, rays, key, cfg: PipelineConfig):
         z_fine = f_z[..., :-1]
         pos = render_lib.lengths_to_points(rays, z_fine)
         dirs = jnp.broadcast_to(rays[:, None, 3:], pos.shape)
-        rgb, sigma = nerf.apply({"params": variables["nerf"]}, pos, dirs)
+        rgb, sigma = _apply_vanilla(nerf, variables["nerf"], pos, dirs, cfg)
         fine_rgb, weights, _ = render_lib.composite(rgb, sigma, z_fine, rays[:, 3:])
         out.update(fine_rgb=fine_rgb, weights=weights, bounds_idx=below, z_fine=z_fine)
 
@@ -222,7 +276,7 @@ def render_rays_eval(models, variables, rays, key, cfg: PipelineConfig,
         z_vals = f_z[..., :-1]
         pos = render_lib.lengths_to_points(rays, z_vals)
         dirs = jnp.broadcast_to(rays[:, None, 3:], pos.shape)
-        rgb, density = nerf.apply({"params": variables["nerf"]}, pos, dirs)
+        rgb, density = _apply_vanilla(nerf, variables["nerf"], pos, dirs, cfg)
         act = jax.nn.relu
 
     normal_info = None

