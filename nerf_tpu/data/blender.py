@@ -84,7 +84,7 @@ class BlenderDataset:
     @classmethod
     def load(cls, root: str, split: str = "train", img_scale: float = 1.0,
              scene_scale: float = 1.0, white_bkg: bool = False,
-             use_div: bool = False) -> "BlenderDataset":
+             use_div: bool = False, use_native: bool = True) -> "BlenderDataset":
         json_name = f"transforms_{split}_div.json" if use_div else f"transforms_{split}.json"
         with open(os.path.join(root, json_name)) as f:
             meta = json.load(f)
@@ -101,25 +101,40 @@ class BlenderDataset:
             if n.endswith("png") and "normal" not in n and "alpha" not in n
         )
 
-        from PIL import Image
-
-        images, poses = [], []
         frames = meta["frames"]
-        for name, frame in zip(names, frames):
-            img = Image.open(os.path.join(img_dir, name))
-            img = img.convert("RGBA" if white_bkg else "RGB")
-            arr = np.asarray(img, dtype=np.float32) / 255.0
-            arr = _resize_bilinear(arr, img_scale)
-            if white_bkg:
-                rgb, a = arr[..., :3], arr[..., 3:]
-                arr = rgb * a + (1.0 - a)
-            images.append(arr[..., :3])
+        stacked = None
+        if use_native:
+            # native C++ decode pipeline (libpng + thread pool); the PIL path
+            # below is the oracle and fallback (see nerf_tpu/native)
+            from nerf_tpu import native
+
+            stacked = native.decode_images(
+                [os.path.join(img_dir, n) for n in names],
+                ratio=img_scale, white_bkg=white_bkg)
+
+        if stacked is None:
+            from PIL import Image
+
+            images = []
+            for name in names:
+                img = Image.open(os.path.join(img_dir, name))
+                img = img.convert("RGBA" if white_bkg else "RGB")
+                arr = np.asarray(img, dtype=np.float32) / 255.0
+                arr = _resize_bilinear(arr, img_scale)
+                if white_bkg:
+                    rgb, a = arr[..., :3], arr[..., 3:]
+                    arr = rgb * a + (1.0 - a)
+                images.append(arr[..., :3])
+            stacked = np.stack(images)
+
+        poses = []
+        for frame in frames[: len(names)]:
             tf = np.asarray(frame["transform_matrix"], np.float32)[:3, :]
             tf[:, 3] *= scene_scale
             poses.append(tf)
 
         return cls(
-            images=np.stack(images).astype(np.float32),
+            images=stacked.astype(np.float32),
             poses=np.stack(poses).astype(np.float32),
             fov=fov,
             division=division,
