@@ -80,6 +80,9 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--pallas", default=False, action="store_true",
                    help="fused Pallas MLP kernels for the vanilla hot path "
                         "(ops/fused_mlp.py); XLA is the default and oracle")
+    p.add_argument("--trace", type=str, default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of one epoch into DIR "
+                        "(view with tensorboard or xprof)")
     return p
 
 

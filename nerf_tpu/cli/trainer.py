@@ -298,10 +298,18 @@ class Trainer:
               f"hw={self.hw} focal=({self.focal[0]:.2f},{self.focal[1]:.2f}) "
               f"model={self.cfg.model} bf16={self.cfg.use_bf16}")
 
+        trace_dir = getattr(args, "trace", None)
         for ep in range(self.epoch_start, args.epochs):
             self.train_timer.tic()
             step_base = int(self.state.step)
-            steps, metrics = self.run_epoch(ep)
+            if trace_dir is not None and ep == self.epoch_start + 1:
+                # trace the second epoch: past compilation, steady state
+                with jax.profiler.trace(trace_dir):
+                    steps, metrics = self.run_epoch(ep)
+                    jax.block_until_ready(self.state.params)
+                print(f"profiler trace written to {trace_dir}")
+            else:
+                steps, metrics = self.run_epoch(ep)
             jax.block_until_ready(self.state.params)
             dt = self.train_timer.toc()
             self._log_epoch_metrics(metrics, steps, step_base)
