@@ -83,6 +83,10 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--trace", type=str, default=None, metavar="DIR",
                    help="capture a jax.profiler trace of one epoch into DIR "
                         "(view with tensorboard or xprof)")
+    p.add_argument("--use_ipe", default=False, action="store_true",
+                   help="Mip-NeRF integrated positional encoding for the "
+                        "vanilla fine net (live version of the reference's "
+                        "dormant IPE math, mip_methods.py:36-58)")
     return p
 
 
@@ -107,4 +111,12 @@ def config_from_args(args) -> PipelineConfig:
         prop_width=args.prop_net_width,
         use_bf16=use_bf16_from_args(args),
         use_pallas=getattr(args, "pallas", False),
+        use_ipe=getattr(args, "use_ipe", False),
     )
+
+
+def finalize_config(cfg, focal):
+    """Resolve dataset-dependent config fields (IPE pixel base radius)."""
+    if cfg.use_ipe and cfg.ipe_radius == 0.0:
+        cfg = cfg.replace(ipe_radius=float(2.0 / (12.0 ** 0.5) / focal[0]))
+    return cfg

@@ -69,6 +69,9 @@ def render_only(args, scene_scale_override: Optional[float] = None):
                                   scene_scale=args.scene_scale,
                                   white_bkg=args.white_bkg)
     hw, focal = testset.image_hw, testset.focal()
+    from nerf_tpu.cli.flags import finalize_config
+
+    cfg = finalize_config(cfg, focal)
 
     template = init_variables(cfg, jax.random.PRNGKey(0))
     params = load_trained_params(args, template)

@@ -71,6 +71,9 @@ class Trainer:
         self.train_set, self.test_set = train_set, test_set
         self.hw = train_set.image_hw
         self.focal = train_set.focal()
+        from nerf_tpu.cli.flags import finalize_config
+
+        self.cfg = finalize_config(self.cfg, self.focal)
         # the reference evaluates test views 1 and 4 only (train.py:135-137)
         n_test = len(test_set)
         self.test_view_ids = [i for i in (1, 4) if i < n_test] or [0]

@@ -27,16 +27,21 @@ class VanillaNeRF(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, pos: jnp.ndarray, dirs: jnp.ndarray):
+    def __call__(self, pos: jnp.ndarray, dirs: jnp.ndarray,
+                 enc_x: jnp.ndarray | None = None):
         """pos (R, P, 3), dirs (R, P, 3) unnormalized -> (rgb (R,P,3), sigma (R,P)).
 
         sigma is raw (the composite applies relu, nerf_base.py:92 parity).
+        ``enc_x`` overrides the internal frequency PE of ``pos`` with a
+        precomputed position feature of the same width (the IPE path).
         """
         dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
-        enc_x = positional_encoding(pos, self.pos_levels)
         enc_d = positional_encoding(dirs, self.dir_levels)
+        if enc_x is None:
+            enc_x = positional_encoding(pos, self.pos_levels)
+            if self.cat_origin:
+                enc_x = jnp.concatenate([pos, enc_x], axis=-1)
         if self.cat_origin:
-            enc_x = jnp.concatenate([pos, enc_x], axis=-1)
             enc_d = jnp.concatenate([dirs, enc_d], axis=-1)
         enc_x = enc_x.astype(self.dtype)
         enc_d = enc_d.astype(self.dtype)

@@ -41,6 +41,14 @@ class PipelineConfig:
     # input gradients are required (Ref-NeRF density normals)
     use_pallas: bool = False
     pallas_tile: int = 512
+    # Mip-NeRF integrated positional encoding for the vanilla fine net.
+    # The reference retains the IPE math but never calls it in forward
+    # (README.md:95, mip_methods.py:36-58); here it is a live mode:
+    # fine-sample boundaries become conical-frustum Gaussians and the MLP
+    # sees attenuated frequency features. ipe_radius is the pixel base
+    # radius (2/sqrt(12)/focal), set by the trainer from the dataset focal.
+    use_ipe: bool = False
+    ipe_radius: float = 0.0
     # quirk toggles (see SURVEY.md section 7 "faithfulness decisions")
     legacy_focal: bool = False        # reproduce utils.py:103-105 focal bug
 

@@ -68,13 +68,34 @@ def _fused_kernel_args(cfg: PipelineConfig):
     return dtype, cfg.pallas_tile, not ops.pallas_supported()
 
 
-def _apply_vanilla(nerf: VanillaNeRF, params, pos, dirs, cfg: PipelineConfig):
+def _vanilla_inputs(nerf: VanillaNeRF, rays, f_z, cfg: PipelineConfig):
+    """(pos, zvals, enc_x) for the vanilla fine net.
+
+    PE mode: sample points at the f_z depths, model computes PE internally.
+    IPE mode (cfg.use_ipe): the n_fine+1 sorted depths become n_fine conical
+    frustums; the MLP sees the attenuated IPE feature of each frustum
+    Gaussian and composites at the frustum centers mu_t.
+    """
+    from nerf_tpu.core.encoding import ipe_feature
+
+    if not cfg.use_ipe:
+        z_fine = f_z[..., :-1]
+        return render_lib.lengths_to_points(rays, z_fine), z_fine, None
+    feat, mu, mu_t = ipe_feature(f_z, rays, nerf.pos_levels, cfg.ipe_radius)
+    enc_x = jnp.concatenate([mu, feat], axis=-1) if nerf.cat_origin else feat
+    return mu, mu_t, enc_x
+
+
+def _apply_vanilla(nerf: VanillaNeRF, params, pos, dirs, cfg: PipelineConfig,
+                   enc_x=None):
     """VanillaNeRF apply — fused Pallas kernel or the flax/XLA oracle.
 
     The fused path is valid here because pos/dirs carry no gradient (sampled
-    depths are detached, sampling.py:105; rays are data)."""
-    if not cfg.use_pallas:
-        return nerf.apply({"params": params}, pos, dirs)
+    depths are detached, sampling.py:105; rays are data). The IPE path
+    (enc_x given) always uses the flax/XLA oracle.
+    """
+    if not cfg.use_pallas or enc_x is not None:
+        return nerf.apply({"params": params}, pos, dirs, enc_x)
     from nerf_tpu import ops
     from nerf_tpu.core.encoding import positional_encoding
 
@@ -227,10 +248,9 @@ def render_rays_train(models, variables, rays, key, cfg: PipelineConfig):
             z_merged=z_merged,
         )
     else:
-        z_fine = f_z[..., :-1]
-        pos = render_lib.lengths_to_points(rays, z_fine)
+        pos, z_fine, enc_x = _vanilla_inputs(nerf, rays, f_z, cfg)
         dirs = jnp.broadcast_to(rays[:, None, 3:], pos.shape)
-        rgb, sigma = _apply_vanilla(nerf, variables["nerf"], pos, dirs, cfg)
+        rgb, sigma = _apply_vanilla(nerf, variables["nerf"], pos, dirs, cfg, enc_x)
         fine_rgb, weights, _ = render_lib.composite(rgb, sigma, z_fine, rays[:, 3:])
         out.update(fine_rgb=fine_rgb, weights=weights, bounds_idx=below, z_fine=z_fine)
 
@@ -276,10 +296,9 @@ def render_rays_eval(models, variables, rays, key, cfg: PipelineConfig,
         density = jax.nn.softplus(raw_density + 0.5)  # procedures.py:74 parity
         act = lambda x: x
     else:
-        z_vals = f_z[..., :-1]
-        pos = render_lib.lengths_to_points(rays, z_vals)
+        pos, z_vals, enc_x = _vanilla_inputs(nerf, rays, f_z, cfg)
         dirs = jnp.broadcast_to(rays[:, None, 3:], pos.shape)
-        rgb, density = _apply_vanilla(nerf, variables["nerf"], pos, dirs, cfg)
+        rgb, density = _apply_vanilla(nerf, variables["nerf"], pos, dirs, cfg, enc_x)
         act = jax.nn.relu
 
     normal_info = None
