@@ -294,6 +294,22 @@ class Trainer:
     def train(self):
         args = self.args
         os.makedirs(args.output_dir, exist_ok=True)
+        # preemption safety: SIGTERM/SIGINT checkpoint the current state
+        # before exiting, so a preempted TPU job resumes with -l losslessly
+        import signal
+
+        def _save_and_exit(signum, frame):
+            step = int(self.state.step)
+            path = self.ckpt.save(self.state, step=step, epoch=self._ep)
+            print(f"\nsignal {signum}: checkpointed step {step} -> {path}")
+            raise SystemExit(128 + signum)
+
+        old_handlers = {}
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                old_handlers[sig] = signal.signal(sig, _save_and_exit)
+            except ValueError:
+                pass  # non-main thread (tests)
         self.pool = jax.device_put(jnp.asarray(self.train_set.pixel_pool()))
         self.poses = jax.device_put(jnp.asarray(self.train_set.poses))
         print(f"Training: mode={self.mode} devices={len(jax.devices())} "
@@ -302,7 +318,9 @@ class Trainer:
               f"model={self.cfg.model} bf16={self.cfg.use_bf16}")
 
         trace_dir = getattr(args, "trace", None)
+        self._ep = self.epoch_start
         for ep in range(self.epoch_start, args.epochs):
+            self._ep = ep
             self.train_timer.tic()
             step_base = int(self.state.step)
             if trace_dir is not None and ep == self.epoch_start + 1:
@@ -338,6 +356,9 @@ class Trainer:
             if ((ep % args.output_time == 0) or ep == args.epochs - 1) \
                     and ep > self.epoch_start:
                 self._eval_and_checkpoint(ep)
+
+        for sig, handler in old_handlers.items():
+            signal.signal(sig, handler)
 
         # final save under ./model/<name>.ckpt (train.py:261-268 parity)
         from nerf_tpu.utils import save_checkpoint
