@@ -143,13 +143,31 @@ void resize_image(const Image& in, int oh, int ow, Image* out) {
 
 extern "C" {
 
-// Probe a PNG's dimensions after optional ratio resize.
-// Returns 0 on success.
+// Probe a PNG's dimensions after optional ratio resize (header-only read —
+// no pixel decode). Returns 0 on success.
 int dataio_probe(const char* path, double ratio, int* out_h, int* out_w) {
-  Image img;
-  if (!decode_png(path, false, &img)) return 1;
-  *out_h = ratio == 1.0 ? img.h : (int)(img.h * ratio);
-  *out_w = ratio == 1.0 ? img.w : (int)(img.w * ratio);
+  FILE* fp = std::fopen(path, "rb");
+  if (!fp) return 1;
+  png_structp png =
+      png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  if (!png) {
+    std::fclose(fp);
+    return 1;
+  }
+  png_infop info = png_create_info_struct(png);
+  if (!info || setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    std::fclose(fp);
+    return 1;
+  }
+  png_init_io(png, fp);
+  png_read_info(png, info);
+  const int h = (int)png_get_image_height(png, info);
+  const int w = (int)png_get_image_width(png, info);
+  png_destroy_read_struct(&png, &info, nullptr);
+  std::fclose(fp);
+  *out_h = ratio == 1.0 ? h : (int)(h * ratio);
+  *out_w = ratio == 1.0 ? w : (int)(w * ratio);
   return 0;
 }
 

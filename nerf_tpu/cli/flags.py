@@ -91,7 +91,11 @@ def get_parser() -> argparse.ArgumentParser:
 
 
 def use_bf16_from_args(args) -> bool:
-    return bool(args.use_scaler) or str(args.opt_mode).lower() in ("native", "o1", "o2")
+    """bf16 only under -s, disabled while debugging, like the reference's
+    `use_amp = args.use_scaler and not debugging` (train.py:46); --opt_mode
+    none forces fp32 even with -s (the reference's 'none' AMP mode)."""
+    return (bool(args.use_scaler) and not args.debug
+            and str(args.opt_mode).lower() != "none")
 
 
 def config_from_args(args) -> PipelineConfig:

@@ -28,8 +28,11 @@ from nerf_tpu.utils import CheckpointManager, load_checkpoint, save_image_grid
 from nerf_tpu.utils.image import to_uint8
 
 
-def load_trained_params(args, target):
-    """./model/<name>.ckpt if present, else newest rotating checkpoint."""
+def load_trained_params(args):
+    """./model/<name>.ckpt if present, else newest rotating checkpoint.
+
+    Returns raw nested dicts; callers reconcile against their param template
+    (see _strip_replica_axis)."""
     final = os.path.join("model", f"{args.name}.ckpt")
     if os.path.exists(final):
         state, step, epoch = load_checkpoint(final, target=None)
@@ -74,7 +77,7 @@ def render_only(args, scene_scale_override: Optional[float] = None):
     cfg = finalize_config(cfg, focal)
 
     template = init_variables(cfg, jax.random.PRNGKey(0))
-    params = load_trained_params(args, template)
+    params = load_trained_params(args)
     params = _strip_replica_axis(params, template)
 
     if args.eval_poses:

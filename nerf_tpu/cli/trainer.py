@@ -254,10 +254,13 @@ class Trainer:
         self.eval_timer.toc()
         test_loss /= len(self.test_view_ids)
         step = int(self.state.step)
-        self.writer.add_scalar("Test Loss", test_loss, self.test_cnt)
+        # log at the global step and name images by epoch (the reference's
+        # run-local test_cnt restarts at 0 on resume, clobbering grids and
+        # interleaving the Test Loss series)
+        self.writer.add_scalar("Test Loss", test_loss, step)
         nrow = 1 + int(self.args.render_normal) + int(self.args.render_depth)
         img_path = os.path.join(self.args.output_dir,
-                                f"result_{self.test_cnt:03d}.png")
+                                f"result_ep{ep:04d}.png")
         save_image_grid(img_path, panels, nrow=nrow)
         self.ckpt.save(self.state, step=step, epoch=ep)
         print(f"Evaluation in epoch: {ep:4d} / {self.args.epochs:4d}\t"
@@ -294,20 +297,22 @@ class Trainer:
     def train(self):
         args = self.args
         os.makedirs(args.output_dir, exist_ok=True)
-        # preemption safety: SIGTERM/SIGINT checkpoint the current state
-        # before exiting, so a preempted TPU job resumes with -l losslessly
+        # preemption safety: SIGTERM/SIGINT checkpoint the train state for a
+        # lossless -l resume. The save is DEFERRED to the epoch boundary:
+        # epoch programs donate the state buffers (donate_argnums), so a
+        # handler firing mid-dispatch would serialize deleted arrays.
         import signal
 
-        def _save_and_exit(signum, frame):
-            step = int(self.state.step)
-            path = self.ckpt.save(self.state, step=step, epoch=self._ep)
-            print(f"\nsignal {signum}: checkpointed step {step} -> {path}")
-            raise SystemExit(128 + signum)
+        self._stop_signal = None
+
+        def _request_stop(signum, frame):
+            self._stop_signal = signum
+            print(f"\nsignal {signum}: will checkpoint at the epoch boundary")
 
         old_handlers = {}
         for sig in (signal.SIGTERM, signal.SIGINT):
             try:
-                old_handlers[sig] = signal.signal(sig, _save_and_exit)
+                old_handlers[sig] = signal.signal(sig, _request_stop)
             except ValueError:
                 pass  # non-main thread (tests)
         self.pool = jax.device_put(jnp.asarray(self.train_set.pixel_pool()))
@@ -318,9 +323,7 @@ class Trainer:
               f"model={self.cfg.model} bf16={self.cfg.use_bf16}")
 
         trace_dir = getattr(args, "trace", None)
-        self._ep = self.epoch_start
         for ep in range(self.epoch_start, args.epochs):
-            self._ep = ep
             self.train_timer.tic()
             step_base = int(self.state.step)
             if trace_dir is not None and ep == self.epoch_start + 1:
@@ -333,6 +336,14 @@ class Trainer:
                 steps, metrics = self.run_epoch(ep)
             jax.block_until_ready(self.state.params)
             dt = self.train_timer.toc()
+
+            if self._stop_signal is not None:
+                step = int(self.state.step)
+                path = self.ckpt.save(self.state, step=step, epoch=ep)
+                print(f"signal {self._stop_signal}: checkpointed step {step} "
+                      f"-> {path}")
+                raise SystemExit(128 + self._stop_signal)
+
             self._log_epoch_metrics(metrics, steps, step_base)
 
             if self.mode == "ma" and self.ma_epoch and \
@@ -347,7 +358,9 @@ class Trainer:
             loss = float(np.asarray(metrics["loss"])[-1])
             psnr = float(np.asarray(metrics["psnr"])[-1])
             lr_now = float(self.schedule(int(self.state.step)))
-            rays_s = steps * self.n_data * self.cfg.ray_batch / max(dt, 1e-9)
+            # every device (data AND replica axes) trains ray_batch rays/step
+            n_dev = self.n_data * self.n_replica
+            rays_s = steps * n_dev * self.cfg.ray_batch / max(dt, 1e-9)
             print(f"Epoch {ep:4d} / {args.epochs:4d}\tloss: {loss:.4f}\t"
                   f"PSNR: {psnr:.3f}\tlr: {lr_now:.7f}\t{rays_s:,.0f} rays/s\t"
                   f"ETA: {self.train_timer.eta_str(args.epochs - ep - 1)}")

@@ -159,6 +159,7 @@ def weight_bounds(prop_weights: jnp.ndarray, below_idx: jnp.ndarray) -> jnp.ndar
     return jax.lax.dot_general(
         sel, sat, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,  # keep the f32 sums out of bf16
     )
 
 
@@ -211,6 +212,7 @@ def merge_coarse_fine(c_z: jnp.ndarray, f_z: jnp.ndarray, f_idx=None):
     z_full = jax.lax.dot_general(
         sel, z_cat.astype(jnp.float32), (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,  # depths must stay f32 on TPU
     )
 
     z_merged = z_full[..., :-1]
@@ -226,6 +228,7 @@ def merge_coarse_fine(c_z: jnp.ndarray, f_z: jnp.ndarray, f_idx=None):
     idx_full = jax.lax.dot_general(
         sel, idx_cat, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     ).astype(f_idx.dtype)
     return z_merged, src_index, coarse_pos, idx_full
 

@@ -102,6 +102,11 @@ class BlenderDataset:
         )
 
         frames = meta["frames"]
+        # pair images and poses consistently even when the PNG listing and
+        # the frames list disagree in length (a stray extra file must not
+        # shift every image onto the wrong camera)
+        n = min(len(names), len(frames))
+        names, frames = names[:n], frames[:n]
         stacked = None
         if use_native:
             # native C++ decode pipeline (libpng + thread pool); the PIL path
@@ -128,7 +133,7 @@ class BlenderDataset:
             stacked = np.stack(images)
 
         poses = []
-        for frame in frames[: len(names)]:
+        for frame in frames:
             tf = np.asarray(frame["transform_matrix"], np.float32)[:3, :]
             tf[:, 3] *= scene_scale
             poses.append(tf)

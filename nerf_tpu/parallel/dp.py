@@ -62,7 +62,11 @@ def make_parallel_train_step(models, tx, cfg: PipelineConfig, hw, focal,
         opt_state = jax.tree.map(lambda x: x[0], state.opt_state)
         rep = jax.lax.axis_index("replica")
         dat = jax.lax.axis_index("data")
-        key = jax.random.fold_in(base_key, state.step * 65536 + rep * 256 + dat)
+        # two-level fold: a single arithmetic fold (step * K + device) wraps
+        # int32 and repeats key streams with period K steps on long runs
+        key = jax.random.fold_in(
+            jax.random.fold_in(base_key, state.step), rep * n_data + dat
+        )
         k_pix, k_render = jax.random.split(key)
 
         rays, rgb_gt = sample_train_rays(

@@ -55,15 +55,17 @@ def mix_division(division, mix_num: int = 3, seed: int = 114514,
     """
     if mix_num == 0:
         return list(division)
-    div = np.asarray(division, np.int32)
     rng = np.random.default_rng(seed)
     pairs = [(0, 2), (3, 1)]
     if not one_side:
         pairs += [(0, 1), (3, 2)]
-    out = div.copy()
+    out = np.asarray(division, np.int32).copy()
     for a, b in pairs:
-        ia = np.nonzero(div == a)[0]
-        ib = np.nonzero(div == b)[0]
+        # select from the CURRENT labels so a pose already traded by an
+        # earlier pair cannot be re-picked and overwritten (which would
+        # unbalance the exchange under --two_side)
+        ia = np.nonzero(out == a)[0]
+        ib = np.nonzero(out == b)[0]
         k = min(mix_num, len(ia), len(ib))
         if k == 0:
             continue
