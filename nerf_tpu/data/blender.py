@@ -86,7 +86,15 @@ class BlenderDataset:
              scene_scale: float = 1.0, white_bkg: bool = False,
              use_div: bool = False, use_native: bool = True) -> "BlenderDataset":
         json_name = f"transforms_{split}_div.json" if use_div else f"transforms_{split}.json"
-        with open(os.path.join(root, json_name)) as f:
+        json_path = os.path.join(root, json_name)
+        if not os.path.exists(json_path):
+            hint = (" (run tools/pose_division.py to create the _div variant)"
+                    if use_div else "")
+            raise FileNotFoundError(
+                f"dataset not found: {json_path} — expected a Blender-synthetic "
+                f"layout <dataset_root>/<dataset_name>/transforms_{split}.json; "
+                f"check --dataset_root/--dataset_name{hint}")
+        with open(json_path) as f:
             meta = json.load(f)
 
         fov = meta["camera_angle_x"]
