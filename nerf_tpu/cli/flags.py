@@ -87,6 +87,17 @@ def get_parser() -> argparse.ArgumentParser:
                    help="Mip-NeRF integrated positional encoding for the "
                         "vanilla fine net (live version of the reference's "
                         "dormant IPE math, mip_methods.py:36-58)")
+    p.add_argument("-m", "--mip_nerf", default=False, action="store_true",
+                   help="true Mip-NeRF: ONE network at both levels with "
+                        "conical-frustum IPE, no proposal net")
+    p.add_argument("--distortion_weight", type=float, default=0.0,
+                   help="mip-360 distortion regularizer weight (the "
+                        "reference defines it but never uses it, "
+                        "addtional.py:26-36)")
+    p.add_argument("--entropy_weight", type=float, default=0.0,
+                   help="InfoNeRF few-shot ray-entropy regularizer weight")
+    p.add_argument("--entropy_threshold", type=float, default=0.1,
+                   help="InfoNeRF ray-acc mask threshold")
     return p
 
 
@@ -99,8 +110,11 @@ def use_bf16_from_args(args) -> bool:
 
 
 def config_from_args(args) -> PipelineConfig:
+    mip = getattr(args, "mip_nerf", False)
+    if mip and args.ref_nerf:
+        raise SystemExit("error: -t/--ref_nerf and -m/--mip_nerf are exclusive")
     return PipelineConfig(
-        model="ref" if args.ref_nerf else "vanilla",
+        model="ref" if args.ref_nerf else ("mip" if mip else "vanilla"),
         near=args.near,
         far=args.far,
         n_coarse=args.coarse_sample_pnum,
@@ -115,12 +129,15 @@ def config_from_args(args) -> PipelineConfig:
         prop_width=args.prop_net_width,
         use_bf16=use_bf16_from_args(args),
         use_pallas=getattr(args, "pallas", False),
-        use_ipe=getattr(args, "use_ipe", False),
+        use_ipe=getattr(args, "use_ipe", False) or mip,
+        distortion_w=getattr(args, "distortion_weight", 0.0),
+        entropy_w=getattr(args, "entropy_weight", 0.0),
+        entropy_acc_threshold=getattr(args, "entropy_threshold", 0.1),
     )
 
 
 def finalize_config(cfg, focal):
     """Resolve dataset-dependent config fields (IPE pixel base radius)."""
-    if cfg.use_ipe and cfg.ipe_radius == 0.0:
+    if (cfg.use_ipe or cfg.model == "mip") and cfg.ipe_radius == 0.0:
         cfg = cfg.replace(ipe_radius=float(2.0 / (12.0 ** 0.5) / focal[0]))
     return cfg

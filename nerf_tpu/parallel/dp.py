@@ -78,7 +78,7 @@ def make_parallel_train_step(models, tx, cfg: PipelineConfig, hw, focal,
             has_aux=True,
         )(params)
 
-        if sync_prop:
+        if sync_prop or "prop" not in grads:
             grads = jax.lax.pmean(grads, "data")
         else:
             # reference parity: only the fine net's gradients are synchronized

@@ -12,7 +12,12 @@ from dataclasses import dataclass
 
 @dataclass(frozen=True)
 class PipelineConfig:
-    model: str = "vanilla"            # "vanilla" | "ref"
+    model: str = "vanilla"            # "vanilla" | "ref" | "mip"
+    # "mip" = true Mip-NeRF (ICCV 2021): ONE network queried at both levels
+    # with conical-frustum IPE; the proposal net is removed and resampling
+    # uses the coarse pass's own weights (the reference repo retains the
+    # IPE math but never runs this mode, README.md:95)
+    mip_coarse_loss_w: float = 0.1    # coarse-pass MSE weight (paper's 0.1)
     near: float = 2.0
     far: float = 6.0
     n_coarse: int = 64                # --coarse_sample_pnum

@@ -23,6 +23,10 @@ from nerf_tpu.train.config import PipelineConfig
 
 def make_models(cfg: PipelineConfig) -> Tuple[Any, ProposalNetwork]:
     dtype = jnp.bfloat16 if cfg.use_bf16 else jnp.float32
+    if cfg.model == "mip":
+        # true Mip-NeRF: ONE network at both levels; no proposal net
+        nerf = VanillaNeRF(hidden=cfg.nerf_width, dtype=dtype)
+        return nerf, None
     if cfg.model == "ref":
         # bf16 matmuls with fp32 islands: the density head, normal
         # normalization, composite, and every loss are fp32 (SURVEY.md
@@ -53,6 +57,8 @@ def init_variables(cfg: PipelineConfig, key) -> Dict[str, Any]:
         nerf_vars = nerf.init({"params": k1, "noise": k3}, pos, dirs, True)
     else:
         nerf_vars = nerf.init(k1, pos, dirs)
+    if prop is None:
+        return {"nerf": nerf_vars["params"]}
     prop_vars = prop.init(k2, pos)
     return {"nerf": nerf_vars["params"], "prop": prop_vars["params"]}
 
@@ -207,6 +213,25 @@ def _ref_fine_forward(nerf: RefNeRF, nerf_params, pos, dirs, noise_key,
     return rgb, raw_density, spa["normal"], density_grad
 
 
+def _mip_pass(nerf, nerf_params, rays, edges, cfg: PipelineConfig,
+              white_bkg: bool = False, render_depth: bool = False):
+    """One Mip-NeRF level: cone edges -> IPE -> shared net -> composite.
+
+    edges: (R, P+1) sorted depths defining P conical frustums. Returns
+    (rgb_out (R, 3), cone_weights (R, P), extras).
+    """
+    from nerf_tpu.core.encoding import ipe_feature
+
+    feat, mu, mu_t = ipe_feature(edges, rays, nerf.pos_levels, cfg.ipe_radius)
+    enc_x = jnp.concatenate([mu, feat], axis=-1) if nerf.cat_origin else feat
+    dirs = jnp.broadcast_to(rays[:, None, 3:], mu.shape)
+    rgb, sigma = nerf.apply({"params": nerf_params}, mu, dirs, enc_x)
+    return render_lib.composite(
+        rgb, sigma, mu_t, rays[:, 3:], white_bkg=white_bkg,
+        depth_bounds=(cfg.near, cfg.far) if render_depth else None,
+    )
+
+
 def render_rays_train(models, variables, rays, key, cfg: PipelineConfig):
     """Training forward for a ray batch. Returns a dict of render outputs.
 
@@ -216,6 +241,22 @@ def render_rays_train(models, variables, rays, key, cfg: PipelineConfig):
     nerf, prop = models
     k_strat, k_inv, k_noise = jax.random.split(key, 3)
     n_rays = rays.shape[0]
+
+    if cfg.model == "mip":
+        # true Mip-NeRF: one net, two IPE passes, self-resampling
+        from nerf_tpu.core.fastmath import sorted_uniforms
+
+        c_edges = sampling.stratified_samples(
+            k_strat, n_rays, cfg.n_coarse + 1, cfg.near, cfg.far)
+        coarse_rgb, w_c, _ = _mip_pass(nerf, variables["nerf"], rays, c_edges, cfg)
+        w_blur = sampling.max_blur_filter(
+            jax.lax.stop_gradient(w_c), cfg.max_blur_alpha)
+        u = sorted_uniforms(k_inv, (n_rays, cfg.n_fine + 1))
+        f_edges, _, _ = sampling.sample_pdf(
+            None, c_edges, w_blur, cfg.n_fine + 1, u=u)
+        fine_rgb, w_f, _ = _mip_pass(nerf, variables["nerf"], rays, f_edges, cfg)
+        return {"fine_rgb": fine_rgb, "coarse_rgb": coarse_rgb,
+                "weights": w_f, "z_fine": f_edges[..., :-1]}
 
     c_z = sampling.stratified_samples(k_strat, n_rays, cfg.n_coarse, cfg.near, cfg.far)
     need_prop_grad = cfg.prop_normal and cfg.model == "ref"
@@ -279,6 +320,22 @@ def render_rays_eval(models, variables, rays, key, cfg: PipelineConfig,
         k_strat = k_inv = None
         jitter, u = noise
     n_rays = rays.shape[0]
+
+    if cfg.model == "mip":
+        from nerf_tpu.core.fastmath import sorted_uniforms
+
+        c_edges = sampling.stratified_samples(
+            k_strat, n_rays, cfg.n_coarse + 1, cfg.near, cfg.far, jitter=jitter)
+        _, w_c, _ = _mip_pass(nerf, variables["nerf"], rays, c_edges, cfg)
+        w_blur = sampling.max_blur_filter(w_c, cfg.max_blur_alpha)
+        if u is None:
+            u = sorted_uniforms(k_inv, (n_rays, sample_num + 1))
+        f_edges, _, _ = sampling.sample_pdf(
+            None, c_edges, w_blur, sample_num + 1, u=u)
+        rgb_out, _, extras = _mip_pass(
+            nerf, variables["nerf"], rays, f_edges, cfg,
+            white_bkg=cfg.white_bkg, render_depth=render_depth)
+        return rgb_out, extras
 
     c_z = sampling.stratified_samples(k_strat, n_rays, cfg.n_coarse, cfg.near,
                                       cfg.far, jitter=jitter)

@@ -45,7 +45,8 @@ def _render_image_jit(variables, c2w, key, *, cfg: PipelineConfig, hw, focal,
     from nerf_tpu.core.fastmath import sorted_uniforms
 
     k1, k2 = jax.random.split(key)
-    jitter = jax.random.uniform(k1, (n_padded, cfg.n_coarse)).reshape(-1, chunk, cfg.n_coarse)
+    n_strat = cfg.n_coarse + (1 if cfg.model == "mip" else 0)
+    jitter = jax.random.uniform(k1, (n_padded, n_strat)).reshape(-1, chunk, n_strat)
     u = sorted_uniforms(k2, (n_padded, sample_num + 1)).reshape(-1, chunk, sample_num + 1)
     normal_cam_dir = c2w[:, 2] if render_normal else None
 

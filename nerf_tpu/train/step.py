@@ -66,12 +66,20 @@ def compute_loss(models, params, rays, rgb_gt, key, cfg: PipelineConfig):
     """Total loss + metrics for one ray batch (train.py:193-198 parity)."""
     out = render_rays_train(models, params, rays, key, cfg)
     img_loss = losses.mse(out["fine_rgb"], rgb_gt)
-    prop_loss = losses.proposal_loss(
-        out["bounds"], jax.lax.stop_gradient(out["weights"])
-    )
-    loss = prop_loss + img_loss
-    metrics = {"img_loss": img_loss, "prop_loss": prop_loss,
-               "psnr": losses.mse_to_psnr(img_loss)}
+    if cfg.model == "mip":
+        # Mip-NeRF: no proposal net; the coarse pass of the shared network
+        # carries its own (down-weighted) reconstruction loss
+        coarse_loss = losses.mse(out["coarse_rgb"], rgb_gt)
+        loss = img_loss + cfg.mip_coarse_loss_w * coarse_loss
+        metrics = {"img_loss": img_loss, "coarse_loss": coarse_loss,
+                   "psnr": losses.mse_to_psnr(img_loss)}
+    else:
+        prop_loss = losses.proposal_loss(
+            out["bounds"], jax.lax.stop_gradient(out["weights"])
+        )
+        loss = prop_loss + img_loss
+        metrics = {"img_loss": img_loss, "prop_loss": prop_loss,
+                   "psnr": losses.mse_to_psnr(img_loss)}
 
     if cfg.model == "ref":
         normal_loss = losses.weighted_normal_loss(
