@@ -3,18 +3,12 @@
 
     python train.py --dataset_root ./data --dataset_name lego -s -w
     python train.py -r -e            # render-only on test poses
+
+Implementation shared with the `nerf-tpu-train` console script
+(nerf_tpu/cli/entry.py).
 """
 
-from nerf_tpu.cli import Trainer, get_parser, render_only
-
-
-def main():
-    args = get_parser().parse_args()
-    if args.do_render:
-        render_only(args)
-        return
-    Trainer(args, mode="single").train()
-
+from nerf_tpu.cli.entry import train_main as main
 
 if __name__ == "__main__":
     main()
