@@ -29,25 +29,39 @@ from nerf_tpu.data.blender import BlenderDataset
 DEFAULT_FOV = 0.6911112070083618  # blender lego camera_angle_x
 
 
-def _scene_params(seed: int, n_blobs: int = 5):
+def _scene_params(seed: int, n_blobs: int = 5, specular: float = 0.0):
     rng = np.random.default_rng(seed)
     centers = rng.uniform(-0.7, 0.7, (n_blobs, 3)).astype(np.float32)
     scales = rng.uniform(0.15, 0.35, (n_blobs,)).astype(np.float32)
     colors = rng.uniform(0.1, 1.0, (n_blobs, 3)).astype(np.float32)
     peak = rng.uniform(20.0, 60.0, (n_blobs,)).astype(np.float32)
-    return jnp.asarray(centers), jnp.asarray(scales), jnp.asarray(colors), jnp.asarray(peak)
+    return (jnp.asarray(centers), jnp.asarray(scales), jnp.asarray(colors),
+            jnp.asarray(peak), float(specular))
 
 
 def field_fn(scene):
-    """Returns f(points (..., 3)) -> (density (...,), rgb (..., 3))."""
-    centers, scales, colors, peak = scene
+    """Returns f(points (..., 3), dirs (..., 3) or None) -> (density, rgb).
 
-    def f(pts):
+    With a nonzero specular coefficient the radiance is view-dependent:
+    each blob adds a Phong-like facing highlight ks * max(0, -d_hat.n_hat)^8
+    where n_hat points from the blob center to the sample — a consistent
+    L(x, d) that diffuse models cannot fit but view-direction-aware models
+    (vanilla's dir-conditioned RGB head, Ref-NeRF's reflection IDE) can.
+    """
+    centers, scales, colors, peak, specular = scene
+
+    def f(pts, dirs=None):
         d2 = jnp.sum((pts[..., None, :] - centers) ** 2, axis=-1)  # (..., B)
         contrib = peak * jnp.exp(-0.5 * d2 / scales**2)            # (..., B)
         density = jnp.sum(contrib, axis=-1)
         w = contrib / (density[..., None] + 1e-8)
         rgb = w @ colors
+        if specular > 0.0 and dirs is not None:
+            d_hat = dirs / (jnp.linalg.norm(dirs, axis=-1, keepdims=True) + 1e-8)
+            n_vec = pts[..., None, :] - centers                    # (..., B, 3)
+            n_hat = n_vec / (jnp.linalg.norm(n_vec, axis=-1, keepdims=True) + 1e-8)
+            facing = jnp.maximum(0.0, -jnp.sum(d_hat[..., None, :] * n_hat, axis=-1))
+            rgb = rgb + specular * jnp.sum(w * facing**8, axis=-1, keepdims=True)
         return density, rgb
 
     return f
@@ -67,7 +81,7 @@ def render_gt_image(scene, c2w, hw, focal, near=2.0, far=6.0, n_samples=192,
         o, d = r[..., :3], r[..., 3:]
         norm = jnp.linalg.norm(d, axis=-1, keepdims=True)
         pts = o[:, None, :] + d[:, None, :] * zvals[None, :, None]
-        density, rgb = f(pts)
+        density, rgb = f(pts, jnp.broadcast_to(d[:, None, :], pts.shape))
         z_metric = zvals[None, :] * norm
         wgt = transmittance_weights(density, z_metric, density_act=lambda x: x)
         out = jnp.sum(wgt[..., None] * rgb, axis=-2)
@@ -85,9 +99,13 @@ def render_gt_image(scene, c2w, hw, focal, near=2.0, far=6.0, n_samples=192,
 
 def make_synthetic_scene(n_train: int = 20, n_test: int = 4, hw=(100, 100),
                          seed: int = 0, fov: float = DEFAULT_FOV,
-                         white_bkg: bool = True, n_samples: int = 192):
-    """Generate (train, test) BlenderDataset pairs from an analytic scene."""
-    scene = _scene_params(seed)
+                         white_bkg: bool = True, n_samples: int = 192,
+                         specular: float = 0.0):
+    """Generate (train, test) BlenderDataset pairs from an analytic scene.
+
+    ``specular`` > 0 adds view-dependent facing highlights (see field_fn) —
+    the shiny-scene analogue of the reference's shiny-blender evaluations."""
+    scene = _scene_params(seed, specular=specular)
     focal = rays_lib.fov_to_focal(fov, hw)
 
     rng = np.random.default_rng(seed + 1)
