@@ -98,6 +98,9 @@ def get_parser() -> argparse.ArgumentParser:
                    help="InfoNeRF few-shot ray-entropy regularizer weight")
     p.add_argument("--entropy_threshold", type=float, default=0.1,
                    help="InfoNeRF ray-acc mask threshold")
+    p.add_argument("--legacy_focal", default=False, action="store_true",
+                   help="reproduce the reference's square-image focal quirk "
+                        "(utils.py:103-105)")
     return p
 
 

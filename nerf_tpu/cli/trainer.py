@@ -70,7 +70,8 @@ class Trainer:
                 scene_scale=args.scene_scale, white_bkg=args.white_bkg)
         self.train_set, self.test_set = train_set, test_set
         self.hw = train_set.image_hw
-        self.focal = train_set.focal()
+        self.focal = train_set.focal(
+            legacy_square=getattr(args, "legacy_focal", False))
         from nerf_tpu.cli.flags import finalize_config
 
         self.cfg = finalize_config(self.cfg, self.focal)
