@@ -90,7 +90,7 @@ def render_only(args, scene_scale_override: Optional[float] = None):
         out_dir = os.path.join(args.output_dir, "sphere")
     os.makedirs(out_dir, exist_ok=True)
 
-    psnrs = []
+    psnrs, frames = [], []
     for i, pose in enumerate(poses):
         out = render_image(
             params, pose, hw, focal, cfg, sample_num=cfg.n_fine,
@@ -113,6 +113,18 @@ def render_only(args, scene_scale_override: Optional[float] = None):
         nrow = len(panels)
         save_image_grid(os.path.join(out_dir, f"result_{i:03d}.png"),
                         panels, nrow=nrow)
+        if not args.eval_poses:
+            frames.append(to_uint8(out["rgb"]))
+    if frames:
+        # stitch the orbit into an animation (the reference leaves a bare
+        # PNG sequence, README "spherical rendering")
+        from PIL import Image
+
+        gif = os.path.join(out_dir, "orbit.gif")
+        imgs = [Image.fromarray(f) for f in frames]
+        imgs[0].save(gif, save_all=True, append_images=imgs[1:], duration=50,
+                     loop=0)
+        print(f"Orbit animation -> {gif}")
     if psnrs:
         print(f"Mean PSNR over {len(psnrs)} test poses: {np.mean(psnrs):.4f}")
     print(f"Output completed -> {out_dir}")

@@ -107,6 +107,7 @@ class TestSingleTrainer:
         finally:
             render_mod.orbit_poses = orig
         assert os.path.exists(tmp_path / "output" / "sphere" / "result_001.png")
+        assert os.path.exists(tmp_path / "output" / "sphere" / "orbit.gif")
 
 
 class TestDistributedTrainers:

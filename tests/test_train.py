@@ -206,3 +206,27 @@ def test_ray_entropy_masks_empty_rays():
     ])
     got = float(losses.ray_entropy_loss(w, acc_threshold=0.1))
     np.testing.assert_allclose(got, np.log(2), rtol=1e-3)
+
+
+def test_weighted_normal_loss_golden():
+    """Hand-computed: w*(1 - d.n) averaged (ref_model.py:127-135)."""
+    w = jnp.asarray([[0.5, 2.0]])
+    d = jnp.asarray([[[0.0, 0.0, 1.0], [1.0, 0.0, 0.0]]])
+    p = jnp.asarray([[[0.0, 0.0, 1.0], [0.0, 1.0, 0.0]]])
+    # per-sample: 0.5*(1-1)=0, 2.0*(1-0)=2 -> mean 1.0, sum 2.0
+    np.testing.assert_allclose(
+        float(losses.weighted_normal_loss(w, d, p, size_average=True)), 1.0,
+        atol=1e-6)
+    np.testing.assert_allclose(
+        float(losses.weighted_normal_loss(w, d, p, size_average=False)), 2.0,
+        atol=1e-6)
+
+
+def test_backface_loss_golden():
+    """Hand-computed: mean(w * relu(n.d)) (ref_model.py:137-143)."""
+    w = jnp.asarray([[1.0, 3.0]])
+    n = jnp.asarray([[[0.0, 0.0, 1.0], [0.0, 0.0, 1.0]]])
+    d = jnp.asarray([[[0.0, 0.0, 2.0], [0.0, 0.0, -5.0]]])
+    # relu(n.d): [2, 0] -> w*: [2, 0] -> mean 1.0
+    np.testing.assert_allclose(float(losses.backface_loss(w, n, d)), 1.0,
+                               atol=1e-6)
