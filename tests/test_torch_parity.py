@@ -191,3 +191,39 @@ class TestImporterEndToEnd:
                            chunk=64)
         assert img["rgb"].shape == (8, 8, 3)
         assert np.all(np.isfinite(img["rgb"]))
+
+
+class TestExportRoundtrip:
+    def test_export_then_import_is_identity(self, tmp_path, torch_models):
+        """our ckpt -> reference .pt -> our ckpt: exact roundtrip, and the
+        exported .pt loads into the reference torch modules."""
+        from export_torch_checkpoint import export_checkpoint
+        from import_torch_checkpoint import import_checkpoint
+        from nerf_tpu.train.config import PipelineConfig
+        from nerf_tpu.train.pipeline import init_variables
+        from nerf_tpu.utils import save_checkpoint
+
+        cfg = PipelineConfig(model="vanilla", nerf_width=256, prop_width=256)
+        params = init_variables(cfg, jax.random.PRNGKey(9))
+        src = str(tmp_path / "ours.ckpt")
+        save_checkpoint(src, {"params": jax.device_get(params)}, step=5, epoch=1)
+
+        prefix = str(tmp_path / "exported")
+        export_checkpoint(src, prefix)
+
+        # the reference's own modules accept the exported state dicts
+        tm, tp = torch_models
+        tm.load_state_dict(torch.load(f"{prefix}_mip.pt",
+                                      weights_only=False)["model"])
+        tp.load_state_dict(torch.load(f"{prefix}_prop.pt",
+                                      weights_only=False)["model"])
+
+        back = import_checkpoint(f"{prefix}_mip.pt", f"{prefix}_prop.pt",
+                                 str(tmp_path / "back.ckpt"))
+        for (kp, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(params),
+            jax.tree_util.tree_leaves_with_path(back),
+        ):
+            np.testing.assert_array_equal(
+                np.asarray(a, np.float32), np.asarray(b),
+                err_msg=jax.tree_util.keystr(kp))
