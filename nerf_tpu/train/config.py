@@ -56,6 +56,13 @@ class PipelineConfig:
     ipe_radius: float = 0.0
     # quirk toggles (see SURVEY.md section 7 "faithfulness decisions")
     legacy_focal: bool = False        # reproduce utils.py:103-105 focal bug
+    # The reference computes density-gradient normals with
+    # torch.autograd.grad(create_graph=False) (ref_model.py:119-125,
+    # train.py:165-168): the normal-loss TARGETS are detached constants and
+    # no second-order gradient ever flows. Default reproduces that (and is
+    # much faster); True differentiates through the density gradients
+    # (true second-order, shapes the density field toward smooth normals).
+    second_order_normals: bool = False
 
     @property
     def n_merged(self) -> int:

@@ -162,6 +162,9 @@ def _proposal_weights(prop: ProposalNetwork, prop_params, rays, c_z, cfg,
         (g,) = vjp_fn(jnp.ones_like(raw_density))
         g_norm = jnp.linalg.norm(g, axis=-1, keepdims=True)
         coarse_grad = -(g / jnp.maximum(1e-5, g_norm))
+        if not cfg.second_order_normals:
+            # reference parity: create_graph=False (train.py:168)
+            coarse_grad = jax.lax.stop_gradient(coarse_grad)
     else:
         raw_density = density_fn(c_pts)
 
@@ -183,13 +186,16 @@ def _proposal_weights(prop: ProposalNetwork, prop_params, rays, c_z, cfg,
 # ---------------------------------------------------------------------------
 
 def _ref_fine_forward(nerf: RefNeRF, nerf_params, pos, dirs, noise_key,
-                      train: bool, need_grad: bool):
+                      train: bool, need_grad: bool,
+                      second_order: bool = False):
     """Ref-NeRF forward with optional d(sigma)/d(pos) via one shared vjp.
 
     The reference re-walks the torch autograd graph with retain_graph
     (ref_model.py:119-125); here a single jax.vjp over the spatial trunk
     yields the per-point density gradient with one extra backward and no
-    recomputation, and stays differentiable for the second-order loss terms.
+    recomputation. By default the gradient is a DETACHED constant target,
+    matching torch's create_graph=False; ``second_order=True`` keeps it
+    differentiable (cfg.second_order_normals).
     """
 
     def spatial_fn(p):
@@ -201,6 +207,8 @@ def _ref_fine_forward(nerf: RefNeRF, nerf_params, pos, dirs, noise_key,
         (g,) = vjp_fn(jnp.ones_like(raw_density))
         g_norm = jnp.linalg.norm(g, axis=-1, keepdims=True)
         density_grad = -(g / jnp.maximum(1e-5, g_norm))
+        if not second_order:
+            density_grad = jax.lax.stop_gradient(density_grad)
     else:
         raw_density, spa = spatial_fn(pos)
         density_grad = None
@@ -275,7 +283,8 @@ def render_rays_train(models, variables, rays, key, cfg: PipelineConfig):
         pos = render_lib.lengths_to_points(rays, z_merged)
         dirs = jnp.broadcast_to(rays[:, None, 3:], pos.shape)
         rgb, raw_density, pred_normal, density_grad = _ref_fine_forward(
-            nerf, variables["nerf"], pos, dirs, k_noise, train=True, need_grad=True
+            nerf, variables["nerf"], pos, dirs, k_noise, train=True,
+            need_grad=True, second_order=cfg.second_order_normals
         )
         density = jax.nn.softplus(raw_density + 0.5)  # train.py:181 parity
         fine_rgb, weights, _ = render_lib.composite(
