@@ -57,6 +57,10 @@ def ma_main():
     parser.add_argument("--allow_imbalanced", default=False,
                         action="store_true",
                         help="Whether to allow imbalanced dataset")
+    parser.add_argument("--num_replicas", type=int, default=None,
+                        help="model-averaging replicas (default: all local "
+                             "devices; must match the dataset division count "
+                             "under -div)")
     parser.add_argument("--coordinator", type=str, default=None,
                         help="multi-host coordinator address (host:port)")
     args = parser.parse_args()

@@ -101,8 +101,15 @@ class Trainer:
             from nerf_tpu.parallel import make_mesh, stack_state
 
             n_dev = len(jax.devices())
-            self.n_replica = n_dev if mode == "ma" else 1
-            self.n_data = 1 if mode == "ma" else n_dev
+            if mode == "ma":
+                self.n_replica = int(getattr(args, "num_replicas", None)
+                                     or n_dev)
+                if self.n_replica > n_dev:
+                    raise ValueError(
+                        f"--num_replicas {self.n_replica} > {n_dev} devices")
+                self.n_data = 1
+            else:
+                self.n_replica, self.n_data = 1, n_dev
             self.mesh = make_mesh(n_data=self.n_data, n_replica=self.n_replica)
             self.state = stack_state(params, self.tx, self.n_replica)
 

@@ -147,3 +147,45 @@ class TestDistributedTrainers:
         for leaf in jax.tree.leaves(state.params):
             arr = np.asarray(leaf)
             np.testing.assert_allclose(arr[0], arr[-1], rtol=1e-5)
+
+    def test_ma_mode_with_division(self, tiny_dataset, tmp_path, monkeypatch):
+        """Full divided-MA pipeline: pose_division tool -> _div.json -> -div
+        training on a 4-replica mesh (8 local devices, --num_replicas 4)."""
+        import json
+        import sys
+
+        monkeypatch.chdir(tmp_path)
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                        "tools"))
+        from pose_division import divide_transforms
+
+        src = os.path.join(tiny_dataset, "lego", "transforms_train.json")
+        meta = json.load(open(src))
+        out = divide_transforms(meta, mix_num=0)
+        with open(os.path.join(tiny_dataset, "lego",
+                               "transforms_train_div.json"), "w") as f:
+            json.dump(out, f)
+
+        def extra(parser):
+            parser.add_argument("--ma_epoch", type=int, default=1)
+            parser.add_argument("--ma_method", type=str, default="p2p")
+            parser.add_argument("-div", "--div", default=False,
+                                action="store_true")
+            parser.add_argument("--allow_imbalanced", default=False,
+                                action="store_true")
+            parser.add_argument("--num_replicas", type=int, default=None)
+
+        args = _args(tiny_dataset, tmp_path,
+                     extra=["--epochs", "2", "-w", "-div",
+                            "--allow_imbalanced", "--num_replicas", "4"],
+                     entry_extra=extra)
+        t = Trainer(args, mode="ma")
+        assert t.n_replica == 4
+        assert t.train_set.division is not None
+        state = t.train()
+        # averaged at every epoch (ma_epoch=1): replicas identical
+        import jax
+
+        for leaf in jax.tree.leaves(state.params):
+            arr = np.asarray(leaf)
+            np.testing.assert_allclose(arr[0], arr[-1], rtol=1e-5)
