@@ -77,9 +77,14 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--log_dir", type=str, default="./logs", help="Metrics/tensorboard dir")
     p.add_argument("--ckpt_dir", type=str, default="./check_points", help="Checkpoint dir")
     p.add_argument("--no_tensorboard", default=False, action="store_true", help="JSONL metrics only")
-    p.add_argument("--pallas", default=False, action="store_true",
-                   help="fused Pallas MLP kernels for the vanilla hot path "
-                        "(ops/fused_mlp.py); XLA is the default and oracle")
+    p.add_argument("--pallas", dest="pallas", default=None,
+                   action="store_true",
+                   help="force the fused Pallas MLP kernels for the vanilla "
+                        "hot path (ops/fused_mlp.py); default is auto (ON on "
+                        "TPU backends, OFF on CPU)")
+    p.add_argument("--no_pallas", dest="pallas", action="store_false",
+                   help="force the XLA/flax oracle path instead of the fused "
+                        "Pallas kernels")
     p.add_argument("--trace", type=str, default=None, metavar="DIR",
                    help="capture a jax.profiler trace of one epoch into DIR "
                         "(view with tensorboard or xprof)")
@@ -131,7 +136,7 @@ def config_from_args(args) -> PipelineConfig:
         nerf_width=args.nerf_net_width,
         prop_width=args.prop_net_width,
         use_bf16=use_bf16_from_args(args),
-        use_pallas=getattr(args, "pallas", False),
+        use_pallas=getattr(args, "pallas", None),
         use_ipe=getattr(args, "use_ipe", False) or mip,
         distortion_w=getattr(args, "distortion_weight", 0.0),
         entropy_w=getattr(args, "entropy_weight", 0.0),

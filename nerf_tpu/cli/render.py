@@ -71,7 +71,10 @@ def render_only(args, scene_scale_override: Optional[float] = None):
     testset = BlenderDataset.load(root, "test", img_scale=args.img_scale,
                                   scene_scale=args.scene_scale,
                                   white_bkg=args.white_bkg)
-    hw, focal = testset.image_hw, testset.focal()
+    hw = testset.image_hw
+    # honor --legacy_focal like the trainer does (cli/trainer.py) so a model
+    # trained under the quirk is evaluated with the same focal length
+    focal = testset.focal(legacy_square=getattr(args, "legacy_focal", False))
     from nerf_tpu.cli.flags import finalize_config
 
     cfg = finalize_config(cfg, focal)

@@ -93,6 +93,10 @@ class Trainer:
         self.crop_window = crop_bounds(
             *self.hw, (args.center_crop_x, args.center_crop_y))
 
+        # multi-process (multi-controller) runs: every process executes this
+        # same program; only process 0 writes files/logs (rank-0 gating,
+        # ddp_train.py:169,258 parity)
+        self.is_main = jax.process_index() == 0
         if mode == "single":
             self.mesh = None
             self.n_replica, self.n_data = 1, 1
@@ -107,11 +111,28 @@ class Trainer:
                 if self.n_replica > n_dev:
                     raise ValueError(
                         f"--num_replicas {self.n_replica} > {n_dev} devices")
-                self.n_data = 1
+                # hybrid replica x data: each averaging group data-parallels
+                # over its share of the remaining chips — no idle hardware,
+                # like the reference where every GPU is an averaging rank
+                # (model_average.py:35-73). Capped by the smallest division:
+                # every device needs one image per step.
+                division = train_set.division
+                if division is not None:
+                    counts = np.bincount(np.asarray(division, np.int64))
+                    min_div = int(counts[counts > 0].min())
+                else:
+                    min_div = max(1, len(train_set) // self.n_replica)
+                self.n_data = max(1, min(n_dev // self.n_replica, min_div))
+                if self.n_replica * self.n_data < n_dev and self.is_main:
+                    print(f"warning: {n_dev} devices, using "
+                          f"{self.n_replica}x{self.n_data} mesh "
+                          f"({n_dev - self.n_replica * self.n_data} idle); "
+                          f"pick --num_replicas dividing {n_dev} to use all")
             else:
                 self.n_replica, self.n_data = 1, n_dev
             self.mesh = make_mesh(n_data=self.n_data, n_replica=self.n_replica)
-            self.state = stack_state(params, self.tx, self.n_replica)
+            self.state = stack_state(params, self.tx, self.n_replica,
+                                     mesh=self.mesh)
 
         if mode == "ma":
             division = train_set.division
@@ -158,12 +179,19 @@ class Trainer:
             restored = self.ckpt.restore(target=self.state)
             if restored is not None:
                 self.state, step, self.epoch_start = restored
-                print(f"Resumed from step {step}, epoch {self.epoch_start}.")
-            else:
+                if self.mesh is not None:
+                    # restored leaves are host numpy; multi-process jit over a
+                    # global mesh rejects them — re-stage as global arrays
+                    from nerf_tpu.parallel import restage_state
+
+                    self.state = restage_state(self.state, self.mesh)
+                if self.is_main:
+                    print(f"Resumed from step {step}, epoch {self.epoch_start}.")
+            elif self.is_main:
                 print(f"Not loading: no checkpoint under {self.ckpt.directory}")
         self.writer = MetricsWriter(
             base_dir=args.log_dir, epochs=args.epochs, del_dir=args.del_dir,
-            use_tensorboard=not args.no_tensorboard)
+            use_tensorboard=not args.no_tensorboard, enabled=self.is_main)
         self.train_timer, self.eval_timer = Timer(5), Timer(5)
 
     # --- program cache -------------------------------------------------------
@@ -219,16 +247,39 @@ class Trainer:
             if steps == 0:
                 raise ValueError(
                     f"{len(order)} train images < {self.n_data} devices")
+            # leftover images (order[steps*n_data:]) are DROPPED this epoch —
+            # a per-epoch reshuffle means every image still trains in
+            # expectation (the reference's DistributedSampler pads with
+            # duplicates instead; we prefer no duplicate gradients).
+            # Pinned by test_cli.py::test_ddp_epoch_indices_drop_documented.
             return order[: steps * self.n_data].reshape(steps, 1, self.n_data)
         rows = LocalShuffleSampler.stacked_epoch_indices(self.samplers, ep)
-        return rows.T[:, :, None]  # (steps, n_replica, 1)
+        if self.n_data == 1:
+            return rows.T[:, :, None]  # (steps, n_replica, 1)
+        # hybrid MA: each replica's division feeds n_data devices per step
+        steps = rows.shape[1] // self.n_data
+        if steps == 0:
+            raise ValueError(
+                f"division of {rows.shape[1]} images < n_data={self.n_data} "
+                f"devices per replica")
+        rows = rows[:, : steps * self.n_data]
+        return rows.reshape(self.n_replica, steps, self.n_data).transpose(1, 0, 2)
 
     def eval_params(self):
         if self.mode == "single":
             return self.state.params
         from nerf_tpu.parallel import unstack_params
 
-        return unstack_params(self.state.params)
+        return unstack_params(self.state.params, mesh=self.mesh)
+
+    def _saveable_state(self):
+        """State with every leaf readable on this process (multi-process:
+        replica-sharded leaves are all-gathered first)."""
+        if self.mesh is None or jax.process_count() == 1:
+            return self.state
+        from nerf_tpu.parallel.mesh import replicate_tree
+
+        return replicate_tree(self.state, self.mesh)
 
     # --- logging --------------------------------------------------------------
     def _log_epoch_metrics(self, metrics, steps: int, step_base: int):
@@ -264,6 +315,12 @@ class Trainer:
         self.eval_timer.toc()
         test_loss /= len(self.test_view_ids)
         step = int(self.state.step)
+        # every process renders (cheap, matches ddp_train.py:264-283); the
+        # collective state gather below needs all processes too — only the
+        # file writes are rank-0-gated
+        state_s = self._saveable_state()
+        if not self.is_main:
+            return
         # log at the global step and name images by epoch (the reference's
         # run-local test_cnt restarts at 0 on resume, clobbering grids and
         # interleaving the Test Loss series)
@@ -272,7 +329,7 @@ class Trainer:
         img_path = os.path.join(self.args.output_dir,
                                 f"result_ep{ep:04d}.png")
         save_image_grid(img_path, panels, nrow=nrow)
-        self.ckpt.save(self.state, step=step, epoch=ep)
+        self.ckpt.save(state_s, step=step, epoch=ep)
         print(f"Evaluation in epoch: {ep:4d} / {self.args.epochs:4d}\t"
               f"test loss: {test_loss:.4f}\t"
               f"avg eval time: {self.eval_timer.get_mean_time():.4f}s -> {img_path}")
@@ -284,7 +341,12 @@ class Trainer:
         steps = idx.shape[0]
         step0 = int(self.state.step)
         cci = self.args.center_crop_iter
-        idx_dev = jnp.asarray(idx)
+        if self.mesh is None:
+            idx_dev = jnp.asarray(idx)
+        else:
+            from nerf_tpu.parallel import host_to_global
+
+            idx_dev = host_to_global(idx, self.mesh)
 
         if cci <= step0 or cci >= step0 + steps:
             # the whole epoch is on one side of the crop boundary
@@ -315,6 +377,9 @@ class Trainer:
         import signal
 
         self._stop_signal = None
+        # must exist before the handlers are live: a signal during the
+        # device_put staging below would otherwise hit an AttributeError
+        self._ep = self.epoch_start
 
         def _save_and_flag(signum, frame):
             if self._stop_signal is not None:
@@ -322,9 +387,17 @@ class Trainer:
                     signal.signal(s, h)
                 raise KeyboardInterrupt
             self._stop_signal = signum
+            if jax.process_count() > 1 and self.n_replica > 1:
+                # replica-sharded state needs a collective gather to save —
+                # unsafe from a signal handler (peers may not be in it);
+                # the epoch loop saves cooperatively before exiting
+                print(f"\nsignal {signum}: stopping after this epoch "
+                      f"(cooperative multi-process checkpoint)")
+                return
             step = int(self.state.step)
-            path = self.ckpt.save(self.state, step=step, epoch=self._ep)
-            print(f"\nsignal {signum}: checkpointed step {step} -> {path}")
+            if self.is_main:
+                path = self.ckpt.save(self.state, step=step, epoch=self._ep)
+                print(f"\nsignal {signum}: checkpointed step {step} -> {path}")
 
         old_handlers = {}
         for sig in (signal.SIGTERM, signal.SIGINT):
@@ -332,15 +405,24 @@ class Trainer:
                 old_handlers[sig] = signal.signal(sig, _save_and_flag)
             except ValueError:
                 pass  # non-main thread (tests)
-        self.pool = jax.device_put(jnp.asarray(self.train_set.pixel_pool()))
-        self.poses = jax.device_put(jnp.asarray(self.train_set.poses))
-        print(f"Training: mode={self.mode} devices={len(jax.devices())} "
-              f"mesh=({self.n_replica}x{self.n_data}) images={len(self.train_set)} "
-              f"hw={self.hw} focal=({self.focal[0]:.2f},{self.focal[1]:.2f}) "
-              f"model={self.cfg.model} bf16={self.cfg.use_bf16}")
+        if self.mesh is None:
+            self.pool = jax.device_put(jnp.asarray(self.train_set.pixel_pool()))
+            self.poses = jax.device_put(jnp.asarray(self.train_set.poses))
+        else:
+            # global replicated arrays: required for multi-process jit, and
+            # single-process it skips the per-dispatch resharding copy
+            from nerf_tpu.parallel import host_to_global
+
+            self.pool = host_to_global(self.train_set.pixel_pool(), self.mesh)
+            self.poses = host_to_global(self.train_set.poses, self.mesh)
+        if self.is_main:
+            print(f"Training: mode={self.mode} devices={len(jax.devices())} "
+                  f"processes={jax.process_count()} "
+                  f"mesh=({self.n_replica}x{self.n_data}) images={len(self.train_set)} "
+                  f"hw={self.hw} focal=({self.focal[0]:.2f},{self.focal[1]:.2f}) "
+                  f"model={self.cfg.model} bf16={self.cfg.use_bf16}")
 
         trace_dir = getattr(args, "trace", None)
-        self._ep = self.epoch_start
         for ep in range(self.epoch_start, args.epochs):
             self._ep = ep
             self.train_timer.tic()

@@ -95,6 +95,30 @@ def sorted_uniforms(key, shape) -> jnp.ndarray:
     return s[..., :n] / s[..., n:]
 
 
+def onehot_select(idx: jnp.ndarray, values: jnp.ndarray) -> jnp.ndarray:
+    """values (..., M) read at int idx (..., N) -> (..., N), gather-free
+    AND materialization-free.
+
+    The matmul one-hot forms (interp_from_counts, the dot_generals in
+    sampling.py) win at small ray batches but their (R, N, M) operands are
+    MXU inputs, so XLA materializes them in HBM — at R=2^14 that is GBs of
+    traffic per step (the round-1 large-batch cliff).  This form keeps the
+    compare INSIDE a where+reduce so XLA's loop fusion evaluates the
+    (..., N, M) intermediate tile-by-tile in registers; `where` (not
+    multiply) also keeps the algebraic simplifier from strength-reducing the
+    reduction back into a dot.  Exact: one selected element per output, no
+    summation rounding.  Under autodiff the cotangent to ``values`` is the
+    mirrored where+reduce over N — no scatter.
+    """
+    m = values.shape[-1]
+    iota = jnp.arange(m, dtype=idx.dtype)
+    hit = idx[..., :, None] == iota  # (..., N, M) — fused, never materialized
+    return jnp.sum(
+        jnp.where(hit, values[..., None, :], jnp.zeros((), values.dtype)),
+        axis=-1,
+    )
+
+
 def interp_from_counts(le: jnp.ndarray, values: jnp.ndarray):
     """Gather values at (below, above) interval endpoints without gathers.
 

@@ -24,6 +24,21 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+# Endpoint-read strategy for sample_pdf / weight_bounds / merge_coarse_fine:
+# "fused"  — fastmath.onehot_select compare+where+reduce; XLA fuses it, no
+#            (R, N, M) tensor ever materializes, flat in ray-batch size.
+# "matmul" — round-1 one-hot MXU matvecs; kept as the measured-against oracle
+#            (collapses at R >= 2^14: the operands are GBs of HBM traffic).
+# Functions take select=None meaning "use this module default".
+DEFAULT_SELECT = "fused"
+
+
+def _select(select: str | None) -> str:
+    mode = DEFAULT_SELECT if select is None else select
+    if mode not in ("fused", "matmul"):
+        raise ValueError(f"unknown select mode {mode!r}")
+    return mode
+
 
 def stratified_samples(key, n_rays: int, n_samples: int, near: float, far: float,
                        jitter: jnp.ndarray | None = None):
@@ -57,7 +72,7 @@ def count_lt(sorted_vals: jnp.ndarray, queries: jnp.ndarray) -> jnp.ndarray:
 
 
 def sample_pdf(key, bins: jnp.ndarray, weights: jnp.ndarray, n_samples: int,
-               u: jnp.ndarray | None = None):
+               u: jnp.ndarray | None = None, select: str | None = None):
     """Inverse-transform sampling of the piecewise-constant PDF over bins.
 
     bins: (..., M) sorted bin edges; weights: (..., M-1) unnormalized.
@@ -65,9 +80,16 @@ def sample_pdf(key, bins: jnp.ndarray, weights: jnp.ndarray, n_samples: int,
     upper CDF indices of the interval each sample landed in.
     Behavior parity: utils.py:108-133 (incl. the 1e-5 weight floor and the
     denom < 1e-5 guard).  ``u`` overrides the drawn uniforms (testing).
-    """
-    from nerf_tpu.core.fastmath import cumsum_mm, interp_from_counts
 
+    select: "fused" (default) reads the four interval endpoints with
+    fastmath.onehot_select — compare+where+reduce that XLA fuses without
+    materializing any (R, N, M) tensor, flat in ray-batch size; "matmul"
+    keeps the round-1 one-hot MXU matvecs (oracle; materializes (R, N, M)
+    in HBM, collapses at R >= 2^14).
+    """
+    from nerf_tpu.core.fastmath import cumsum_mm, interp_from_counts, onehot_select
+
+    select = _select(select)
     w = weights + 1e-5
     pdf = w / jnp.sum(w, axis=-1, keepdims=True)
     cdf = cumsum_mm(pdf)
@@ -75,15 +97,23 @@ def sample_pdf(key, bins: jnp.ndarray, weights: jnp.ndarray, n_samples: int,
 
     if u is None:
         u = jax.random.uniform(key, (*cdf.shape[:-1], n_samples), dtype=cdf.dtype)
-    # dense compare once; counts give searchsorted, shifted-one-hot matvecs
-    # give the four endpoint reads with no gathers (see fastmath)
-    le = (cdf[..., None, :] <= u[..., :, None]).astype(jnp.float32)
-    inds = jnp.sum(le, axis=-1).astype(jnp.int32)
-    below = jnp.maximum(0, inds - 1)
-    above = jnp.minimum(cdf.shape[-1] - 1, inds)
-
-    cdf_b, cdf_a = interp_from_counts(le, cdf)
-    bins_b, bins_a = interp_from_counts(le, bins)
+    if select == "fused":
+        inds = count_le(cdf, u)
+        below = jnp.maximum(0, inds - 1)
+        above = jnp.minimum(cdf.shape[-1] - 1, inds)
+        cdf_b = onehot_select(below, cdf)
+        cdf_a = onehot_select(above, cdf)
+        bins_b = onehot_select(below, bins)
+        bins_a = onehot_select(above, bins)
+    else:
+        # dense compare once; counts give searchsorted, shifted-one-hot
+        # matvecs give the four endpoint reads (see fastmath)
+        le = (cdf[..., None, :] <= u[..., :, None]).astype(jnp.float32)
+        inds = jnp.sum(le, axis=-1).astype(jnp.int32)
+        below = jnp.maximum(0, inds - 1)
+        above = jnp.minimum(cdf.shape[-1] - 1, inds)
+        cdf_b, cdf_a = interp_from_counts(le, cdf)
+        bins_b, bins_a = interp_from_counts(le, bins)
 
     denom = cdf_a - cdf_b
     denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)
@@ -133,26 +163,33 @@ def max_blur_filter(weights: jnp.ndarray, alpha: float) -> jnp.ndarray:
     return 0.5 * (front + rear) + alpha
 
 
-def weight_bounds(prop_weights: jnp.ndarray, below_idx: jnp.ndarray) -> jnp.ndarray:
+def weight_bounds(prop_weights: jnp.ndarray, below_idx: jnp.ndarray,
+                  select: str | None = None) -> jnp.ndarray:
     """Proposal-weight mass over each fine-sample index interval.
 
     prop_weights: (R, P); below_idx: (R, K) sorted lower indices from
     inverse sampling.  bounds[:, k] = sum(prop_weights[start_k : end_k]) with
     starts = below_idx[:, :-1], ends = below_idx[:, 1:] + 1, via a cumulative
     sum gather.  Parity: addtional.py:14-18 (getBounds).
-    """
-    from nerf_tpu.core.fastmath import cumsum_mm
 
+    Gather-free either way: take_along_axis here cost ~4.5 ms/step on a v5e
+    (the gathers and their backward scatters were the hottest ops of the
+    whole train step).  select="fused" (default) reads the two SAT endpoints
+    with fastmath.onehot_select (no materialized (R, K, P+1) tensor, flat in
+    R); select="matmul" keeps the round-1 one-hot MXU matvec (oracle;
+    collapses at R >= 2^14).
+    """
+    from nerf_tpu.core.fastmath import cumsum_mm, onehot_select
+
+    select = _select(select)
     r, p = prop_weights.shape
     starts = below_idx[..., :-1]
     ends = below_idx[..., 1:] + 1
     sat = jnp.concatenate(
         [jnp.zeros((r, 1), jnp.float32), cumsum_mm(prop_weights)], axis=-1
     )
-    # Gather-free: take_along_axis here costs ~4.5 ms/step on a v5e (the
-    # gathers and their backward scatters were the single hottest ops in the
-    # whole train step). (onehot(ends) - onehot(starts)) @ sat is one batched
-    # MXU matvec whose transpose is another matmul — no scatter anywhere.
+    if select == "fused":
+        return onehot_select(ends, sat) - onehot_select(starts, sat)
     iota = jnp.arange(p + 1, dtype=jnp.int32)
     sel = ((ends[..., None] == iota).astype(sat.dtype)
            - (starts[..., None] == iota).astype(sat.dtype))  # (R, K, P+1)
@@ -163,7 +200,8 @@ def weight_bounds(prop_weights: jnp.ndarray, below_idx: jnp.ndarray) -> jnp.ndar
     )
 
 
-def merge_coarse_fine(c_z: jnp.ndarray, f_z: jnp.ndarray, f_idx=None):
+def merge_coarse_fine(c_z: jnp.ndarray, f_z: jnp.ndarray, f_idx=None,
+                      select: str | None = None):
     """Merge sorted coarse + fine depths, dropping the largest element.
 
     Returns (z_merged (R, C+F-1), src_index (R, C+F-1), coarse_pos (R, C)):
@@ -182,6 +220,7 @@ def merge_coarse_fine(c_z: jnp.ndarray, f_z: jnp.ndarray, f_idx=None):
     O(C*F) compares, no O(n log^2 n) sorting network.  Stability matches
     torch.sort: on ties, fine entries (lower cat index) come first.
     """
+    select = _select(select)
     r, nc = c_z.shape
     nf = f_z.shape[-1]
     n = nc + nf
@@ -204,16 +243,24 @@ def merge_coarse_fine(c_z: jnp.ndarray, f_z: jnp.ndarray, f_idx=None):
 
     # Gather-free materialization: row-wise take_along_axis here cost
     # 7.2 ms/step on a v5e (the three hottest ops of the whole Ref-NeRF
-    # step). One one-hot selection matmul replaces all of them, and its
-    # transpose under autodiff is another matmul instead of a scatter.
+    # step).  select="fused" (default) reads z_cat at src with
+    # fastmath.onehot_select — no materialized (R, n, n) tensor, flat in R;
+    # select="matmul" keeps the round-1 one-hot selection matmul (oracle;
+    # at R=2^14 its (R, 193, 193) f32 operand is ~2.4 GB of HBM traffic).
     # f32 throughout: depths need more mantissa than bf16 carries.
-    sel = (src[..., None] == jnp.arange(n, dtype=jnp.int32)).astype(jnp.float32)
-    z_cat = jnp.concatenate([f_z, c_z], axis=-1)
-    z_full = jax.lax.dot_general(
-        sel, z_cat.astype(jnp.float32), (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,  # depths must stay f32 on TPU
-    )
+    z_cat = jnp.concatenate([f_z, c_z], axis=-1).astype(jnp.float32)
+    if select == "fused":
+        from nerf_tpu.core.fastmath import onehot_select
+
+        z_full = onehot_select(src, z_cat)
+        sel = None
+    else:
+        sel = (src[..., None] == jnp.arange(n, dtype=jnp.int32)).astype(jnp.float32)
+        z_full = jax.lax.dot_general(
+            sel, z_cat, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,  # depths must stay f32 on TPU
+        )
 
     z_merged = z_full[..., :-1]
     src_index = src[..., :-1]
@@ -225,11 +272,16 @@ def merge_coarse_fine(c_z: jnp.ndarray, f_z: jnp.ndarray, f_idx=None):
     idx_cat = jnp.concatenate(
         [f_idx.astype(jnp.float32),
          jnp.broadcast_to(jnp.arange(nc, dtype=jnp.float32), (r, nc))], axis=-1)
-    idx_full = jax.lax.dot_general(
-        sel, idx_cat, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    ).astype(f_idx.dtype)
+    if select == "fused":
+        from nerf_tpu.core.fastmath import onehot_select
+
+        idx_full = onehot_select(src, idx_cat).astype(f_idx.dtype)
+    else:
+        idx_full = jax.lax.dot_general(
+            sel, idx_cat, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ).astype(f_idx.dtype)
     return z_merged, src_index, coarse_pos, idx_full
 
 

@@ -77,8 +77,9 @@ class LocalShuffleSampler:
         if self.shuffle:
             rng = np.random.default_rng(np.random.SeedSequence([self.seed, self.epoch]))
             rng.shuffle(idx)
-            if self.min_sample is not None:
-                idx = idx[: self.min_sample]
+        if self.min_sample is not None:
+            # truncate regardless of shuffle so __len__ == iteration length
+            idx = idx[: self.min_sample]
         return iter(idx.tolist())
 
     def epoch_indices(self, epoch: int) -> np.ndarray:

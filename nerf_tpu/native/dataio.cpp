@@ -40,6 +40,12 @@ bool decode_png(const char* path, bool want_alpha, Image* out) {
     return false;
   }
   png_infop info = png_create_info_struct(png);
+  // Buffers live BEFORE the setjmp so a libpng longjmp (e.g. a corrupt
+  // image mid png_read_image) returns into a frame where they are still
+  // in scope and are destroyed on the normal return below — constructing
+  // them after setjmp and jumping over their scope exit is UB / a leak.
+  std::vector<uint8_t> raw;
+  std::vector<png_bytep> rows;
   if (!info || setjmp(png_jmpbuf(png))) {
     png_destroy_read_struct(&png, &info, nullptr);
     std::fclose(fp);
@@ -69,8 +75,8 @@ bool decode_png(const char* path, bool want_alpha, Image* out) {
   png_read_update_info(png, info);
 
   const int c = want_alpha ? 4 : 3;
-  std::vector<uint8_t> raw((size_t)h * w * c);
-  std::vector<png_bytep> rows(h);
+  raw.resize((size_t)h * w * c);
+  rows.resize(h);
   for (png_uint_32 y = 0; y < h; ++y) rows[y] = raw.data() + (size_t)y * w * c;
   png_read_image(png, rows.data());
   png_destroy_read_struct(&png, &info, nullptr);

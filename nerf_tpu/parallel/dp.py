@@ -28,18 +28,67 @@ from nerf_tpu.train.config import PipelineConfig
 from nerf_tpu.train.step import TrainState, compute_loss, sample_train_rays
 
 
-def stack_state(params, tx, n_replica: int) -> TrainState:
+def stack_state(params, tx, n_replica: int, mesh: Mesh = None) -> TrainState:
     """Replicate params into a leading (n_replica, ...) axis and init the
-    optimizer per replica."""
+    optimizer per replica.
+
+    With ``mesh`` given, every leaf is built as a GLOBAL jax.Array sharded
+    P('replica') over the mesh — required for multi-process execution, where
+    a jit over a global mesh rejects host-local inputs (each process's
+    initial params are identical, so each can supply its shards locally).
+    """
+    if mesh is None:
+        stacked = jax.tree.map(
+            lambda x: jnp.broadcast_to(x[None], (n_replica, *x.shape)), params
+        )
+        opt_state = jax.vmap(tx.init)(stacked)
+        return TrainState(params=stacked, opt_state=opt_state,
+                          step=jnp.zeros((), jnp.int32))
+
+    import numpy as np
+    from jax.sharding import NamedSharding
+
+    from nerf_tpu.parallel.mesh import host_to_global
+
     stacked = jax.tree.map(
-        lambda x: jnp.broadcast_to(x[None], (n_replica, *x.shape)), params
+        lambda x: host_to_global(
+            np.broadcast_to(np.asarray(x)[None], (n_replica, *x.shape)),
+            mesh, P("replica")),
+        params,
     )
-    opt_state = jax.vmap(tx.init)(stacked)
+    # vmap(tx.init) under jit so the opt state comes out with propagated
+    # (replica-sharded) shardings instead of host-local buffers
+    opt_state = jax.jit(jax.vmap(tx.init))(stacked)
     return TrainState(params=stacked, opt_state=opt_state,
-                      step=jnp.zeros((), jnp.int32))
+                      step=host_to_global(np.zeros((), np.int32), mesh, P()))
 
 
-def unstack_params(stacked, replica: int = 0):
+def restage_state(state: TrainState, mesh: Mesh) -> TrainState:
+    """Re-stage a host-side (e.g. checkpoint-restored) stacked TrainState as
+    global arrays on the mesh — required before feeding a multi-process jit."""
+    import numpy as np
+
+    from nerf_tpu.parallel.mesh import host_to_global
+
+    def stage(spec):
+        return lambda x: host_to_global(np.asarray(x), mesh, spec)
+
+    return TrainState(
+        params=jax.tree.map(stage(P("replica")), state.params),
+        opt_state=jax.tree.map(stage(P("replica")), state.opt_state),
+        step=host_to_global(np.asarray(state.step), mesh, P()),
+    )
+
+
+def unstack_params(stacked, replica: int = 0, mesh: Mesh = None):
+    """Pull one replica's params out of the stacked pytree.
+
+    Multi-process: the requested replica may live on another process's
+    devices, so gather to fully-replicated first (pass ``mesh``)."""
+    if mesh is not None and jax.process_count() > 1:
+        from nerf_tpu.parallel.mesh import replicate_tree
+
+        stacked = replicate_tree(stacked, mesh)
     return jax.tree.map(lambda x: x[replica], stacked)
 
 

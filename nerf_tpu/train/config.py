@@ -43,9 +43,14 @@ class PipelineConfig:
     use_bf16: bool = False            # TPU-native replacement for APEX AMP (-s)
     # Pallas fused-MLP kernels for the hot path (ops/fused_mlp.py); the
     # XLA/flax path remains the correctness oracle and the fallback wherever
-    # input gradients are required (Ref-NeRF density normals)
-    use_pallas: bool = False
-    pallas_tile: int = 512
+    # input gradients are required (Ref-NeRF density normals).
+    # None = auto: ON on TPU backends, OFF on CPU (tests would otherwise run
+    # interpret-mode kernels everywhere).  Measured on v5e (tile=1024): the
+    # whole-MLP fused kernels keep activations in VMEM, so rays/s stays flat
+    # (~131k) from R=1024 to R=2^14 while the XLA path drops to ~119k beyond
+    # R=4096 on its HBM-bound per-layer activation round trips.
+    use_pallas: bool | None = None
+    pallas_tile: int = 1024
     # Mip-NeRF integrated positional encoding for the vanilla fine net.
     # The reference retains the IPE math but never calls it in forward
     # (README.md:95, mip_methods.py:36-58); here it is a live mode:
@@ -54,8 +59,8 @@ class PipelineConfig:
     # radius (2/sqrt(12)/focal), set by the trainer from the dataset focal.
     use_ipe: bool = False
     ipe_radius: float = 0.0
-    # quirk toggles (see SURVEY.md section 7 "faithfulness decisions")
-    legacy_focal: bool = False        # reproduce utils.py:103-105 focal bug
+    # (The --legacy_focal quirk, utils.py:103-105, lives at the dataset
+    # focal() call sites in cli/trainer.py and cli/render.py, not here.)
     # The reference computes density-gradient normals with
     # torch.autograd.grad(create_graph=False) (ref_model.py:119-125,
     # train.py:165-168): the normal-loss TARGETS are detached constants and

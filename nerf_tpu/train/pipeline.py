@@ -74,6 +74,16 @@ def _fused_kernel_args(cfg: PipelineConfig):
     return dtype, cfg.pallas_tile, not ops.pallas_supported()
 
 
+def use_pallas(cfg: PipelineConfig) -> bool:
+    """Resolve cfg.use_pallas=None (auto): fused kernels on real TPU backends,
+    XLA path on CPU (where Pallas would run in slow interpret mode)."""
+    if cfg.use_pallas is not None:
+        return cfg.use_pallas
+    from nerf_tpu import ops
+
+    return ops.pallas_supported()
+
+
 def _vanilla_inputs(nerf: VanillaNeRF, rays, f_z, cfg: PipelineConfig):
     """(pos, zvals, enc_x) for the vanilla fine net.
 
@@ -100,7 +110,7 @@ def _apply_vanilla(nerf: VanillaNeRF, params, pos, dirs, cfg: PipelineConfig,
     depths are detached, sampling.py:105; rays are data). The IPE path
     (enc_x given) always uses the flax/XLA oracle.
     """
-    if not cfg.use_pallas or enc_x is not None:
+    if not use_pallas(cfg) or enc_x is not None:
         return nerf.apply({"params": params}, pos, dirs, enc_x)
     from nerf_tpu import ops
     from nerf_tpu.core.encoding import positional_encoding
@@ -124,7 +134,7 @@ def _apply_vanilla(nerf: VanillaNeRF, params, pos, dirs, cfg: PipelineConfig,
 
 def _apply_prop(prop: ProposalNetwork, params, pts, cfg: PipelineConfig):
     """ProposalNetwork apply — fused kernel when no input grads are needed."""
-    if not cfg.use_pallas:
+    if not use_pallas(cfg):
         return prop.apply({"params": params}, pts)
     from nerf_tpu import ops
     from nerf_tpu.core.encoding import positional_encoding

@@ -32,7 +32,13 @@ class MetricsWriter:
 
     def __init__(self, base_dir: str = "./logs", epochs: int = 0,
                  del_dir: bool = False, use_tensorboard: bool = True,
-                 run_dir: Optional[str] = None):
+                 run_dir: Optional[str] = None, enabled: bool = True):
+        # enabled=False -> a no-op sink: non-zero processes in multi-process
+        # runs log nothing (rank-0 gating, ddp_train.py:169,258 parity)
+        self.enabled = enabled
+        if not enabled:
+            self.run_dir, self._jsonl, self._tb = None, None, None
+            return
         self.run_dir = run_dir or _make_run_dir(base_dir, epochs, del_dir)
         os.makedirs(self.run_dir, exist_ok=True)
         self._jsonl = open(os.path.join(self.run_dir, "metrics.jsonl"), "a")
@@ -46,6 +52,8 @@ class MetricsWriter:
                 self._tb = None
 
     def add_scalar(self, tag: str, value, step: int) -> None:
+        if not self.enabled:
+            return
         value = float(value)
         self._jsonl.write(json.dumps(
             {"tag": tag, "value": value, "step": int(step), "ts": time.time()}
@@ -58,11 +66,15 @@ class MetricsWriter:
             self.add_scalar(prefix + tag, value, step)
 
     def flush(self) -> None:
+        if not self.enabled:
+            return
         self._jsonl.flush()
         if self._tb is not None:
             self._tb.flush()
 
     def close(self) -> None:
+        if not self.enabled:
+            return
         self.flush()
         self._jsonl.close()
         if self._tb is not None:

@@ -26,6 +26,42 @@ assert len(jax.devices()) == 8, "tests expect an 8-device virtual CPU mesh"
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# Central slow-marking so `pytest -m "not slow"` is a quick (<~90s on the
+# 1-CPU CI box) pre-commit gate; the full suite (~13 min) remains the real
+# gate before milestones.  Durations measured 2026-08-16 (pytest_full.log).
+SLOW_MODULES = {
+    "tests.test_cli",
+    "tests.test_ipe_mode",
+    "tests.test_mip_model",
+    "tests.test_multiprocess",
+    "tests.test_ops",
+    "tests.test_parallel",
+    "tests.test_parallel_convergence",
+    "tests.test_pipeline_pallas",
+    "tests.test_renderer",
+    "tests.test_resume_determinism",
+    "tests.test_specular_scene",
+    "tests.test_torch_parity",
+}
+SLOW_TESTS = {
+    "test_ref_model_loss_and_grads_finite",
+    "test_vanilla_training_reduces_loss",
+    "test_epoch_scan_matches_step_loop",
+    "test_regularizer_flags_change_loss",
+    "test_train_step_deterministic",
+    "test_refnerf_shapes",
+    "test_refnerf_eval_deterministic_train_noisy",
+    "test_vanilla_rgb_in_unit_range",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = getattr(item.module, "__name__", "")
+        mod = mod if mod.startswith("tests.") else f"tests.{mod}"
+        if mod in SLOW_MODULES or item.originalname in SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture
 def rng():

@@ -1,0 +1,71 @@
+"""The shared sharded program run by BOTH the single-process oracle (the
+pytest process, 8 local virtual devices) and each process of the 2-process
+distributed job (tests/mp_worker.py, 4 local + 4 remote devices).
+
+Same seeds, same mesh shape, same global-array staging -> the results must
+agree: that equivalence is exactly what makes multi-process execution
+correct (a multi-controller SPMD program computes the same function as its
+single-controller counterpart).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+
+
+def run_program():
+    """One DP train step + one weighted MA average on a (2, 4) global mesh.
+
+    Returns {"loss": float, "psnr": float, "checksums": [per-leaf sums]}.
+    """
+    import jax.numpy as jnp
+
+    from nerf_tpu.data.synthetic import make_synthetic_scene
+    from nerf_tpu.parallel import (
+        host_to_global,
+        make_average_fn,
+        make_mesh,
+        make_parallel_train_step,
+        stack_state,
+        tree_to_host,
+    )
+    from nerf_tpu.train import schedule
+    from nerf_tpu.train.config import PipelineConfig
+    from nerf_tpu.train.pipeline import init_variables, make_models
+    from nerf_tpu.train.step import make_optimizer
+
+    n_replica, n_data = 2, 4
+    mesh = make_mesh(n_data=n_data, n_replica=n_replica)
+
+    cfg = PipelineConfig(model="vanilla", ray_batch=8, n_coarse=8, n_fine=8,
+                         nerf_width=16, prop_width=16)
+    models = make_models(cfg)
+    params = init_variables(cfg, jax.random.PRNGKey(0))
+    tx = make_optimizer(cfg, schedule.decay_schedule(1e-3, warmup_step=0),
+                        grad_clip=1.0)
+    state = stack_state(params, tx, n_replica, mesh=mesh)
+
+    train, _, _ = make_synthetic_scene(n_train=8, n_test=1, hw=(16, 16),
+                                       seed=0, n_samples=16)
+    pool = host_to_global(train.pixel_pool(), mesh)
+    poses = host_to_global(train.poses, mesh)
+    img_idx = host_to_global(
+        np.arange(8, dtype=np.int32).reshape(n_replica, n_data), mesh)
+
+    step = make_parallel_train_step(models, tx, cfg, train.image_hw,
+                                    train.focal(), mesh, donate=False)
+    state, metrics = step(state, pool, poses, img_idx)
+
+    avg_fn = make_average_fn(mesh, "all_reduce")
+    weights = host_to_global(
+        np.asarray([0.25, 0.75], np.float32), mesh)
+    averaged = avg_fn(state.params, weights)
+
+    host_params = tree_to_host(averaged, mesh)
+    leaves = jax.tree_util.tree_leaves(host_params)
+    return {
+        "loss": float(np.asarray(jax.device_get(metrics["loss"]))),
+        "psnr": float(np.asarray(jax.device_get(metrics["psnr"]))),
+        "checksums": [float(np.abs(l).sum()) for l in leaves],
+    }

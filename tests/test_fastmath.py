@@ -47,3 +47,22 @@ def test_interp_from_counts_matches_gather(rng):
     got_b, got_a = fastmath.interp_from_counts(jnp.asarray(le), jnp.asarray(vals))
     np.testing.assert_allclose(np.asarray(got_b), np.take_along_axis(vals, below, -1), atol=1e-6)
     np.testing.assert_allclose(np.asarray(got_a), np.take_along_axis(vals, above, -1), atol=1e-6)
+
+
+def test_onehot_select_matches_gather(rng):
+    """onehot_select == take_along_axis, exactly; grad w.r.t. values is the
+    transpose one-hot reduce (checked against the explicit dense form)."""
+    m, n = 65, 129
+    vals = rng.standard_normal((8, m)).astype(np.float32)
+    idx = rng.integers(0, m, (8, n)).astype(np.int32)
+    got = np.asarray(fastmath.onehot_select(jnp.asarray(idx), jnp.asarray(vals)))
+    want = np.take_along_axis(vals, idx.astype(np.int64), -1)
+    np.testing.assert_array_equal(got, want)  # exact: single selected element
+
+    def f(v):
+        return jnp.sum(fastmath.onehot_select(jnp.asarray(idx), v) ** 2)
+
+    g = np.asarray(jax.grad(f)(jnp.asarray(vals)))
+    dense = np.zeros_like(vals)
+    np.add.at(dense, (np.arange(8)[:, None], idx), 2.0 * want)
+    np.testing.assert_allclose(g, dense, rtol=1e-6, atol=1e-6)

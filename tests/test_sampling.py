@@ -130,6 +130,74 @@ def test_merge_rank_vs_sort_oracle(rng):
     assert np.all(cp[:, -1] == nc + nf - 1)
 
 
+def test_fused_select_matches_matmul_oracle(rng):
+    """select='fused' (default, no (R,N,M) materialization) must agree with
+    the round-1 one-hot matmul path in values AND gradients."""
+    r, p, k = 8, 64, 129
+    weights = gaussian_weight_fixture(r, p)
+    z = np.linspace(2.0, 6.0, p, dtype=np.float32)[None].repeat(r, 0)
+    u = np.sort(rng.uniform(size=(r, k)).astype(np.float32), -1)
+    bins = 0.5 * (z[:, 1:] + z[:, :-1])
+
+    for sel in ("fused", "matmul"):
+        out = sampling.sample_pdf(None, jnp.asarray(bins),
+                                  jnp.asarray(weights[:, 1:-1]), k,
+                                  u=jnp.asarray(u), select=sel)
+        if sel == "fused":
+            s_f, b_f, a_f = map(np.asarray, out)
+        else:
+            s_m, b_m, a_m = map(np.asarray, out)
+    np.testing.assert_allclose(s_f, s_m, atol=1e-6)
+    np.testing.assert_array_equal(b_f, b_m)
+    np.testing.assert_array_equal(a_f, a_m)
+
+    # weight_bounds: values and grad w.r.t. prop weights (the proposal-loss
+    # backward is the path the one-hot transpose was built for)
+    idx = np.sort(rng.integers(0, p - 2, (r, k)).astype(np.int32), -1)
+
+    def total(w, sel):
+        return jnp.sum(sampling.weight_bounds(w, jnp.asarray(idx), select=sel) ** 2)
+
+    w_j = jnp.asarray(weights)
+    for sel in ("fused", "matmul"):
+        v, g = jax.value_and_grad(lambda w: total(w, sel))(w_j)
+        if sel == "fused":
+            v_f, g_f = float(v), np.asarray(g)
+        else:
+            v_m, g_m = float(v), np.asarray(g)
+    np.testing.assert_allclose(v_f, v_m, rtol=1e-6)
+    np.testing.assert_allclose(g_f, g_m, atol=1e-6)
+
+    # merge_coarse_fine: both selects against each other and grads through z
+    nc, nf = 64, 129
+    c_z = np.sort(rng.uniform(2, 6, (r, nc)).astype(np.float32), -1)
+    f_z = np.sort(rng.uniform(2.2, 5.5, (r, nf)).astype(np.float32), -1)
+    f_idx = np.sort(rng.integers(0, 62, (r, nf)).astype(np.int32), -1)
+
+    def merged_sum(cz, fz, sel):
+        zm, _, _, _ = sampling.merge_coarse_fine(cz, fz, jnp.asarray(f_idx),
+                                                 select=sel)
+        return jnp.sum(zm ** 2)
+
+    for sel in ("fused", "matmul"):
+        z_out = sampling.merge_coarse_fine(jnp.asarray(c_z), jnp.asarray(f_z),
+                                           jnp.asarray(f_idx), select=sel)
+        g = jax.grad(merged_sum, argnums=(0, 1))(
+            jnp.asarray(c_z), jnp.asarray(f_z), sel)
+        if sel == "fused":
+            zf, sf, cpf, idf = map(np.asarray, z_out)
+            gc_f, gf_f = map(np.asarray, g)
+        else:
+            zm, sm, cpm, idm = map(np.asarray, z_out)
+            gc_m, gf_m = map(np.asarray, g)
+    np.testing.assert_allclose(zf, zm, atol=0)
+    np.testing.assert_array_equal(sf, sm)
+    np.testing.assert_array_equal(cpf, cpm)
+    np.testing.assert_array_equal(idf, idm)
+    np.testing.assert_allclose(gc_f, gc_m, atol=1e-6)
+    np.testing.assert_allclose(gf_f, gf_m, atol=1e-6)
+
+
 def test_merge_tie_stability():
     """On equal z, fine entries sort before coarse (torch stable-sort parity)."""
     c_z = jnp.asarray([[1.0, 2.0]])

@@ -1,0 +1,86 @@
+"""Ray-batch scaling of the full train step: fused vs matmul selection.
+
+Round-1 finding (VERDICT "What's weak" #3): throughput COLLAPSED from 131.6k
+rays/s at R=1024 to 95.7k at R=2^14 because the one-hot selection matmuls in
+weight_bounds / merge_coarse_fine / sample_pdf materialize (R, N, M) f32
+MXU operands in HBM — gigabytes per step at R=2^14.  The fused
+compare+where+reduce forms (fastmath.onehot_select) never materialize them.
+This script measures the full train step at several ray batches for both
+paths.  Serial-by-construction timing: each measurement is one lax.scan with
+a carried dependency (independent jit calls run concurrently on this
+backend, see tools/profile_step.py).
+
+Run as: python -m tools.batch_scaling [--model ref|vanilla]
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def measure(cfg, n_scan=20):
+    from nerf_tpu.data.synthetic import make_synthetic_scene
+    from nerf_tpu.train import schedule
+    from nerf_tpu.train.pipeline import init_variables, make_models
+    from nerf_tpu.train.step import (
+        create_train_state, make_epoch_step, make_optimizer,
+    )
+
+    train, _, _ = make_synthetic_scene(n_train=8, n_test=1, hw=(400, 400),
+                                       seed=0, n_samples=64)
+    pool = jax.device_put(jnp.asarray(train.pixel_pool()))
+    poses = jax.device_put(jnp.asarray(train.poses))
+    models = make_models(cfg)
+    params = init_variables(cfg, jax.random.PRNGKey(0))
+    lr = schedule.scaled_base_lr(1.5e-4, cfg.ray_batch)
+    tx = make_optimizer(cfg, schedule.decay_schedule(lr, warmup_step=500))
+    state = create_train_state(params, tx)
+    epoch = make_epoch_step(models, tx, cfg, train.image_hw, train.focal())
+    order = jnp.arange(n_scan, dtype=jnp.int32) % len(train)
+
+    state, _ = epoch(state, pool, poses, order)  # compile + warmup
+    jax.block_until_ready(state.params)
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state, _ = epoch(state, pool, poses, order)
+        jax.block_until_ready(state.params)
+        dt = time.perf_counter() - t0
+        best = max(best, n_scan * cfg.ray_batch / dt)
+    return best
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="vanilla", choices=["vanilla", "ref"])
+    ap.add_argument("--batches", type=int, nargs="+",
+                    default=[1024, 4096, 16384])
+    args = ap.parse_args()
+
+    from nerf_tpu.train.config import PipelineConfig
+
+    print(f"devices: {jax.devices()}  model={args.model}", file=sys.stderr)
+    rows = []
+    for r in args.batches:
+        for select in ("fused", "matmul"):
+            import nerf_tpu.core.sampling as sampling_mod
+            sampling_mod.DEFAULT_SELECT = select
+            cfg = PipelineConfig(ray_batch=r, n_coarse=64, n_fine=128,
+                                 nerf_width=256, prop_width=256,
+                                 white_bkg=True, use_bf16=True,
+                                 model=args.model)
+            rps = measure(cfg)
+            rows.append((r, select, rps))
+            print(f"R={r:6d} select={select:6s} {rps:12,.0f} rays/s",
+                  file=sys.stderr)
+    print("\nsummary:", file=sys.stderr)
+    for r, s, v in rows:
+        print(f"  R={r:6d} {s:6s} {v:12,.0f} rays/s", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
