@@ -22,6 +22,10 @@ from nerf_tpu.ops.fused_mlp import (
     make_prop_fused, make_vanilla_fused, prop_weights_from_params,
     vanilla_weights_from_params,
 )
+from nerf_tpu.ops.ref_fused import (
+    make_ref_fused,
+    ref_directional_weights_from_params, ref_spatial_weights_from_params,
+)
 
 
 def pallas_supported() -> bool:
@@ -32,5 +36,7 @@ def pallas_supported() -> bool:
 __all__ = [
     "make_vanilla_fused", "make_prop_fused",
     "vanilla_weights_from_params", "prop_weights_from_params",
+    "make_ref_fused",
+    "ref_spatial_weights_from_params", "ref_directional_weights_from_params",
     "pallas_supported",
 ]

@@ -1,0 +1,517 @@
+"""Fused whole-Ref-NeRF kernel (Pallas TPU) with custom-VJP backward.
+
+Why: the Ref-NeRF train step on v5e is ~18 ms of MLP matmul fusions plus
+~8 ms of glue in a 26 ms step (trace 2026-08-16), all near the HBM roofline —
+every layer streams a (196k, 256) activation through HBM.  A first attempt
+that fused ONLY the two MLPs made things worse (29.6k vs 38.3k rays/s):
+the IDE/reflection glue that XLA normally fuses INTO the matmul fusions
+cannot fuse into opaque custom-calls, so it ran as ~16 ms of standalone
+elementwise ops.  The lesson: the kernel must subsume the whole fine
+forward.  This module fuses, per tile of points, in one VMEM residency:
+
+    enc -> spatial trunk -> heads -> normalize/negate normal ->
+    reflection -> IDE (z-Vandermonde + complex-power recurrence) ->
+    directional trunk -> specular*sigmoid(tint) + diffuse [-> sRGB]
+
+plus, in the same forward kernel, the density-gradient backward d(sigma)/
+d(enc) for the normal targets (detached constants — torch
+create_graph=False parity, reference train.py:168).
+
+Backward: a second kernel retraces the tile forward and applies **jax.vjp
+inside the kernel body** — JAX derives the full backward jaxpr (through the
+IDE recurrence, the reflection, both trunks) and Mosaic compiles it in the
+same VMEM residency.  No hand-written chain rule to get wrong.  Weight
+gradients accumulate across the sequential TPU grid; input cotangents are
+zero by construction (sampled positions/dirs carry no parameter gradient —
+depths detached, utils.py:36; the noise is a constant draw).
+
+Architecture being fused (bit-for-bit structure): models/refnerf.py,
+itself the behavior-parity rebuild of /root/reference/nerf/ref_model.py:34-106.
+The flax module remains the numeric oracle (tests/test_ref_fused.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from nerf_tpu.core.encoding import ide_tables
+from nerf_tpu.ops.fused_mlp import (
+    F32, _full_spec, _pad_rows, _row_spec,
+)
+
+# spatial weight tuple (kernels (in, out); biases (1, out)):
+#  0: w0  (Dx, H)   spa_block1 L0          1: b0
+#  2: w1  (H, H)                            3: b1
+#  4: w2  (H, H)                            5: b2
+#  6: w3  (H, H)                            7: b3
+#  8: w4a (Dx, H)   spa_block2 L0 skip part
+#  9: w4b (H, H)    spa_block2 L0 hidden part   10: b4
+# 11: w5  (H, H)                           12: b5
+# 13: w6  (H, H)                           14: b6
+# 15: w7  (H, O)    spa_block2 L3          16: b7
+# 17: wrt (O, 2)    rho_tau head           18: brt
+# 19: wnct (O, 9)   normal/diffuse/tint    20: bnct
+# 21: wbn (O, 128)  bottleneck             22: bbn
+N_REF_SPA_WS = 23
+# directional weight tuple:
+#  0: w0 (Dd, H) 1: b0   dir_block1 L0 (Dd = bottleneck + ide + 1)
+#  2: w1 (H, H)  3: b1
+#  4: w2 (H, H)  5: b2
+#  6: w3 (H, H)  7: b3
+#  8: w4a (Dd, H) 9: w4b (H, H) 10: b4   dir_block2 L0 skip split
+# 11: w5 (H, H) 12: b5
+# 13: w6 (H, O) 14: b6
+# 15: w7 (O, O) 16: b7
+# 17: wh (O, 3) 18: bh   spec head (sigmoid)
+N_REF_DIR_WS = 19
+N_REF_WS = N_REF_SPA_WS + N_REF_DIR_WS
+
+
+def _dense_f32(h, w, b=None, cd=jnp.bfloat16):
+    """h @ w with ``cd`` compute and f32 accumulate: pre-activations come out
+    f32 (Mosaic rejects bf16 cmpf, so relu compares stay f32)."""
+    out = jnp.dot(h.astype(cd), w, preferred_element_type=F32)
+    return out if b is None else out + b
+
+
+def _relu_cd(z, cd):
+    """relu in f32, activation resident in ``cd``.
+
+    Written as where(z > 0, ...) so the only backward residual is the BOOL
+    mask — under jax.vjp inside the kernel this keeps the live set ~half of
+    the f32-activations form (the tile VMEM budget is the binding
+    constraint: 34.3 MB > 16 MB limit at tile=512 with f32 activations).
+    """
+    return jnp.where(z > 0.0, z, 0.0).astype(cd)
+
+
+def _spa_pure(ws, enc, cd):
+    """Spatial trunk + raw heads, pure-array (traceable for jax.vjp)."""
+    (w0, b0, w1, b1, w2, b2, w3, b3, w4a, w4b, b4, w5, b5, w6, b6,
+     w7, b7, wrt, brt, wnct, bnct, wbn, bbn) = ws
+    h1 = _relu_cd(_dense_f32(enc, w0, b0, cd), cd)
+    h2 = _relu_cd(_dense_f32(h1, w1, b1, cd), cd)
+    h3 = _relu_cd(_dense_f32(h2, w2, b2, cd), cd)
+    h4 = _relu_cd(_dense_f32(h3, w3, b3, cd), cd)
+    z5 = _relu_cd(_dense_f32(enc, w4a, None, cd) + _dense_f32(h4, w4b, b4, cd), cd)
+    z6 = _relu_cd(_dense_f32(z5, w5, b5, cd), cd)
+    z7 = _relu_cd(_dense_f32(z6, w6, b6, cd), cd)
+    inter = _relu_cd(_dense_f32(z7, w7, b7, cd), cd)
+    rho_tau = _dense_f32(inter, wrt, brt, cd)
+    nct = _dense_f32(inter, wnct, bnct, cd)
+    bn = _dense_f32(inter, wbn, bbn, cd)
+    return rho_tau, nct, bn
+
+
+def _ide_pure(xyz, kappa_inv, mat, sigma, m_arr, l_max):
+    """integrated_dir_enc (core/encoding.py:190-230) with the static channel
+    gather re_pows[..., m_arr] rewritten as column-slice concats (Mosaic has
+    no in-kernel gather).  ``mat`` (l_max+1, C) and ``sigma`` (1, C) are
+    kernel INPUTS (Pallas rejects captured array constants)."""
+    x, y, z = xyz[:, 0:1], xyz[:, 1:2], xyz[:, 2:3]
+    # product-form powers (not z**i): integer_pow's gradient is
+    # i * z**(i-1), which is 0 * z**-1 = NaN at z == 0 — and the PADDED rows
+    # of a partial tile are exactly zero
+    zp = [jnp.ones_like(z)]
+    for _ in range(l_max):
+        zp.append(zp[-1] * z)
+    vz = jnp.concatenate(zp, axis=-1)
+    vz_mat = jnp.dot(vz, mat, preferred_element_type=F32)
+    re_p, im_p = [jnp.ones_like(x)], [jnp.zeros_like(x)]
+    for _ in range(l_max):
+        re, im = re_p[-1], im_p[-1]
+        re_p.append(re * x - im * y)
+        im_p.append(re * y + im * x)
+    re_xy = jnp.concatenate([re_p[m] for m in m_arr], axis=-1)
+    im_xy = jnp.concatenate([im_p[m] for m in m_arr], axis=-1)
+    atten = jnp.exp(-sigma * kappa_inv)
+    return jnp.concatenate([re_xy * vz_mat * atten,
+                            im_xy * vz_mat * atten], axis=-1)
+
+
+def _srgb_pure(linear):
+    """linear_to_srgb (core/encoding.py parity, from multinerf)."""
+    eps = float(np.finfo(np.float32).eps)
+    srgb0 = 323.0 / 25.0 * linear
+    srgb1 = (211.0 * jnp.maximum(eps, linear) ** (5.0 / 12.0) - 11.0) / 200.0
+    return jnp.where(linear <= 0.0031308, srgb0, srgb1)
+
+
+def _glue_heads(heads):
+    """heads (T, 139) -> (roughness, density, normal, diffuse, tint, bn).
+
+    Mirrors RefNeRF.spatial post-processing (models/refnerf.py:79-92) with a
+    grad-safe norm: sqrt' at 0 is inf and the PADDED rows of a partial tile
+    have normal_raw == 0 exactly; the 1e-20 shifts nothing numerically
+    (oracle: jnp.linalg.norm + 1e-7) but keeps zero cotangents zero instead
+    of NaN.
+    """
+    roughness = jax.nn.softplus(heads[:, 0:1] - 1.0)
+    density = heads[:, 1]
+    normal_raw = heads[:, 2:5]
+    norm = jnp.sqrt(jnp.sum(normal_raw * normal_raw, axis=-1,
+                            keepdims=True) + 1e-20)
+    normal = -normal_raw / (norm + 1e-7)
+    return roughness, density, normal, heads[:, 5:8], heads[:, 8:11], heads[:, 11:]
+
+
+def _dir_glue_pure(ws_dir, heads, noise, dirs, mat, sigma, cd, m_arr, l_max,
+                   use_srgb):
+    """Directional branch INCLUDING the glue: heads -> (rgb, normal).
+
+    Everything downstream of the spatial heads in one traceable function:
+    normalize/negate, reflection, IDE, the directional trunk, tint/diffuse
+    composition (models/refnerf.py:95-128).  Runs inside the Pallas kernel;
+    jax.vjp over (ws_dir, heads) gives the backward.
+    """
+    roughness, _, normal, diffuse, tint, bn = _glue_heads(heads)
+    b_vec = bn + noise
+    d_dot_n = jnp.sum(dirs * normal, axis=-1, keepdims=True)
+    reflect = dirs - 2.0 * d_dot_n * normal
+    wr_ide = _ide_pure(reflect, roughness, mat, sigma, m_arr, l_max)
+    x = jnp.concatenate([b_vec, wr_ide, d_dot_n], axis=-1)
+
+    (w0, b0, w1, b1, w2, b2, w3, b3, w4a, w4b, b4, w5, b5, w6, b6,
+     w7, b7, wh, bh) = ws_dir
+    x = x.astype(cd)
+    h1 = _relu_cd(_dense_f32(x, w0, b0, cd), cd)
+    h2 = _relu_cd(_dense_f32(h1, w1, b1, cd), cd)
+    h3 = _relu_cd(_dense_f32(h2, w2, b2, cd), cd)
+    h4 = _relu_cd(_dense_f32(h3, w3, b3, cd), cd)
+    z5 = _relu_cd(_dense_f32(x, w4a, None, cd) + _dense_f32(h4, w4b, b4, cd), cd)
+    z6 = _relu_cd(_dense_f32(z5, w5, b5, cd), cd)
+    z7 = _relu_cd(_dense_f32(z6, w6, b6, cd), cd)
+    z8 = _relu_cd(_dense_f32(z7, w7, b7, cd), cd)
+    spec = jax.nn.sigmoid(_dense_f32(z8, wh, bh, cd))
+
+    specular = spec * jax.nn.sigmoid(tint)
+    if use_srgb:
+        rgb = _srgb_pure(specular
+                         + jax.nn.sigmoid(diffuse - float(np.log(3.0))))
+    else:
+        rgb = specular + jax.nn.sigmoid(diffuse)
+    return rgb, normal
+
+
+SPA_HEAD_DIM = 2 + 9 + 128
+
+
+def _make_spa_fwd_kernel(cd, need_grad):
+    def kernel(enc_ref, *rest):
+        ws = tuple(r[:] for r in rest[:N_REF_SPA_WS])
+        outs = rest[N_REF_SPA_WS:]
+        enc = enc_ref[:].astype(F32)
+
+        if need_grad:
+            def density_of(e):
+                rho_tau, _, _ = _spa_pure(ws, e, cd)
+                return rho_tau[:, 1:2]
+
+            _, vjp_fn = jax.vjp(density_of, enc)
+            (denc,) = vjp_fn(jnp.ones((enc.shape[0], 1), F32))
+            outs[1][:] = denc
+
+        rho_tau, nct, bn = _spa_pure(ws, enc, cd)
+        outs[0][:] = jnp.concatenate([rho_tau, nct, bn], axis=1)
+
+    return kernel
+
+
+def _make_spa_bwd_kernel(cd):
+    def kernel(enc_ref, g_ref, *rest):
+        wrefs, grads = rest[:N_REF_SPA_WS], rest[N_REF_SPA_WS:]
+        ws = tuple(r[:] for r in wrefs)
+        enc = enc_ref[:].astype(F32)
+
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            for gref in grads:
+                gref[:] = jnp.zeros_like(gref)
+
+        def full(ws_t):
+            rho_tau, nct, bn = _spa_pure(ws_t, enc, cd)
+            return jnp.concatenate([rho_tau, nct, bn], axis=1)
+
+        _, vjp_fn = jax.vjp(full, ws)
+        (dws,) = vjp_fn(g_ref[:])
+        for gref, dw in zip(grads, dws):
+            gref[:] += dw.astype(F32)
+
+    return kernel
+
+
+def _make_dir_fwd_kernel(cd, ide_level, use_srgb):
+    tables = ide_tables(ide_level)
+    m_arr = tuple(int(m) for m in tables["m_arr"])
+    l_max = int(tables["l_max"])
+
+    def kernel(heads_ref, noise_ref, dirs_ref, mat_ref, sigma_ref, *rest):
+        ws = tuple(r[:] for r in rest[:N_REF_DIR_WS])
+        out_ref = rest[N_REF_DIR_WS]
+        rgb, normal = _dir_glue_pure(
+            ws, heads_ref[:], noise_ref[:], dirs_ref[:], mat_ref[:],
+            sigma_ref[:], cd, m_arr, l_max, use_srgb)
+        out_ref[:] = jnp.concatenate([rgb, normal], axis=1)  # (T, 6)
+
+    return kernel
+
+
+def _make_dir_bwd_kernel(cd, ide_level, use_srgb):
+    tables = ide_tables(ide_level)
+    m_arr = tuple(int(m) for m in tables["m_arr"])
+    l_max = int(tables["l_max"])
+
+    def kernel(heads_ref, noise_ref, dirs_ref, g_ref, mat_ref, sigma_ref,
+               *rest):
+        wrefs = rest[:N_REF_DIR_WS]
+        dheads_ref = rest[N_REF_DIR_WS]
+        grads = rest[N_REF_DIR_WS + 1:]
+        ws = tuple(r[:] for r in wrefs)
+        heads = heads_ref[:]
+
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            for gref in grads:
+                gref[:] = jnp.zeros_like(gref)
+
+        def full(ws_t, heads_t):
+            return _dir_glue_pure(ws_t, heads_t, noise_ref[:], dirs_ref[:],
+                                  mat_ref[:], sigma_ref[:], cd, m_arr, l_max,
+                                  use_srgb)
+
+        _, vjp_fn = jax.vjp(full, ws, heads)
+        g = g_ref[:]
+        dws, dheads = vjp_fn((g[:, 0:3], g[:, 3:6]))
+        dheads_ref[:] = dheads.astype(F32)
+        for gref, dw in zip(grads, dws):
+            gref[:] += dw.astype(F32)
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _make_spa_fused(cd, tile, interpret, need_grad):
+    fwd_kernel = _make_spa_fwd_kernel(cd, need_grad)
+    bwd_kernel = _make_spa_bwd_kernel(cd)
+
+    def _prep(ws):
+        return tuple(w.astype(F32) if w.shape[0] == 1 else w.astype(cd)
+                     for w in ws)
+
+    def _fwd_impl(ws, enc):
+        n = enc.shape[0]
+        wsc = _prep(ws)
+        x = _pad_rows(enc.astype(cd), tile)
+        grid = (x.shape[0] // tile,)
+        out_specs = [_row_spec(tile, SPA_HEAD_DIM)]
+        out_shape = [jax.ShapeDtypeStruct((x.shape[0], SPA_HEAD_DIM), F32)]
+        if need_grad:
+            out_specs.append(_row_spec(tile, x.shape[1]))
+            out_shape.append(jax.ShapeDtypeStruct(x.shape, F32))
+        outs = pl.pallas_call(
+            fwd_kernel,
+            grid=grid,
+            in_specs=[_row_spec(tile, x.shape[1])]
+            + [_full_spec(w.shape) for w in wsc],
+            out_specs=tuple(out_specs),
+            out_shape=tuple(out_shape),
+            interpret=interpret,
+        )(x, *wsc)
+        denc = outs[1][:n] if need_grad else None
+        return outs[0][:n], denc
+
+    @jax.custom_vjp
+    def fused(ws, enc):
+        heads, denc = _fwd_impl(ws, enc)
+        if denc is None:
+            denc = jnp.zeros_like(enc, dtype=F32)
+        return heads, denc
+
+    def fused_fwd(ws, enc):
+        return fused(ws, enc), (ws, enc)
+
+    def fused_bwd(res, g):
+        ws, enc = res
+        g_heads, _ = g  # denc cotangent dead (detached normal targets)
+        wsc = _prep(ws)
+        x = _pad_rows(enc.astype(cd), tile)
+        gfull = _pad_rows(g_heads.astype(F32), tile)
+        grid = (x.shape[0] // tile,)
+        dws = pl.pallas_call(
+            bwd_kernel,
+            grid=grid,
+            in_specs=[_row_spec(tile, x.shape[1]),
+                      _row_spec(tile, SPA_HEAD_DIM)]
+            + [_full_spec(w.shape) for w in wsc],
+            out_specs=tuple(_full_spec(w.shape) for w in wsc),
+            out_shape=tuple(jax.ShapeDtypeStruct(w.shape, F32) for w in wsc),
+            interpret=interpret,
+        )(x, gfull, *wsc)
+        dws = tuple(dg.astype(w.dtype) for dg, w in zip(dws, ws))
+        return dws, jnp.zeros_like(enc)
+
+    fused.defvjp(fused_fwd, fused_bwd)
+    return fused
+
+
+@functools.lru_cache(maxsize=None)
+def _make_dir_fused(cd, tile, interpret, ide_level, use_srgb):
+    fwd_kernel = _make_dir_fwd_kernel(cd, ide_level, use_srgb)
+    bwd_kernel = _make_dir_bwd_kernel(cd, ide_level, use_srgb)
+    tables = ide_tables(ide_level)
+    ide_mat = np.asarray(tables["mat"], np.float32)
+    ide_sigma = np.asarray(tables["sigma"], np.float32).reshape(1, -1)
+
+    def _prep(ws):
+        return tuple(w.astype(F32) if w.shape[0] == 1 else w.astype(cd)
+                     for w in ws)
+
+    def _fwd_impl(ws, heads, noise, dirs):
+        n = heads.shape[0]
+        wsc = _prep(ws)
+        h = _pad_rows(heads.astype(F32), tile)
+        nz = _pad_rows(noise.astype(F32), tile)
+        d = _pad_rows(dirs.astype(F32), tile)
+        grid = (h.shape[0] // tile,)
+        out = pl.pallas_call(
+            fwd_kernel,
+            grid=grid,
+            in_specs=[_row_spec(tile, h.shape[1]),
+                      _row_spec(tile, nz.shape[1]), _row_spec(tile, 3),
+                      _full_spec(ide_mat.shape), _full_spec(ide_sigma.shape)]
+            + [_full_spec(w.shape) for w in wsc],
+            out_specs=_row_spec(tile, 6),
+            out_shape=jax.ShapeDtypeStruct((h.shape[0], 6), F32),
+            interpret=interpret,
+        )(h, nz, d, jnp.asarray(ide_mat), jnp.asarray(ide_sigma), *wsc)
+        return out[:n, 0:3], out[:n, 3:6]
+
+    @jax.custom_vjp
+    def fused(ws, heads, noise, dirs):
+        return _fwd_impl(ws, heads, noise, dirs)
+
+    def fused_fwd(ws, heads, noise, dirs):
+        return _fwd_impl(ws, heads, noise, dirs), (ws, heads, noise, dirs)
+
+    def fused_bwd(res, g):
+        ws, heads, noise, dirs = res
+        g_rgb, g_normal = g
+        n = heads.shape[0]
+        wsc = _prep(ws)
+        h = _pad_rows(heads.astype(F32), tile)
+        nz = _pad_rows(noise.astype(F32), tile)
+        d = _pad_rows(dirs.astype(F32), tile)
+        gfull = _pad_rows(
+            jnp.concatenate([g_rgb.astype(F32), g_normal.astype(F32)],
+                            axis=1), tile)
+        grid = (h.shape[0] // tile,)
+        outs = pl.pallas_call(
+            bwd_kernel,
+            grid=grid,
+            in_specs=[_row_spec(tile, h.shape[1]),
+                      _row_spec(tile, nz.shape[1]), _row_spec(tile, 3),
+                      _row_spec(tile, 6),
+                      _full_spec(ide_mat.shape), _full_spec(ide_sigma.shape)]
+            + [_full_spec(w.shape) for w in wsc],
+            out_specs=(_row_spec(tile, h.shape[1]),)
+            + tuple(_full_spec(w.shape) for w in wsc),
+            out_shape=(jax.ShapeDtypeStruct(h.shape, F32),)
+            + tuple(jax.ShapeDtypeStruct(w.shape, F32) for w in wsc),
+            interpret=interpret,
+        )(h, nz, d, gfull, jnp.asarray(ide_mat), jnp.asarray(ide_sigma),
+          *wsc)
+        dheads, dws = outs[0], outs[1:]
+        dws = tuple(dg.astype(w.dtype) for dg, w in zip(dws, ws))
+        return (dws, dheads[:n].astype(heads.dtype), jnp.zeros_like(noise),
+                jnp.zeros_like(dirs))
+
+    fused.defvjp(fused_fwd, fused_bwd)
+    return fused
+
+
+def make_ref_fused(compute_dtype=jnp.bfloat16, tile: int = 512,
+                   interpret: bool = False, need_grad: bool = True,
+                   ide_level: int = 4, use_srgb: bool = False):
+    """Fused whole-Ref-NeRF fine forward, split at the heads boundary.
+
+    (ws, enc (N, Dx), dirs (N, 3), noise (N, 128)) ->
+      (rgb (N, 3) f32, density (N,) f32, normal (N, 3) f32,
+       denc (N, Dx) f32 or None)
+
+    Two kernels: spatial trunk -> packed heads (N, 139) [+ in-kernel
+    density-gradient d(sigma)/d(enc)], and directional-with-glue
+    heads -> (rgb, normal) whose VJP emits d(heads).  The heads boundary is
+    tiny (139 f32/pt), so unlike an MLP-only fusion nothing big
+    materializes between kernels; the split keeps each backward's VMEM
+    live-set inside the 16 MB scoped limit (the single whole-network
+    backward kernel measured 34 MB at tile=512).
+
+    ``noise`` is the bottleneck perturbation, already scaled (zeros for
+    eval).  denc is a detached constant (torch create_graph=False parity);
+    the caller maps it through the PE transpose.  Weight grads flow; enc/
+    noise/dirs cotangents are zero (no parameter gradient flows through
+    them — depths detached, utils.py:36).
+    """
+    cd = compute_dtype
+    spa = _make_spa_fused(cd, tile, interpret, need_grad)
+    dr = _make_dir_fused(cd, tile, interpret, ide_level, use_srgb)
+
+    def fused(ws, enc, dirs, noise):
+        ws_spa, ws_dir = ws[:N_REF_SPA_WS], ws[N_REF_SPA_WS:]
+        heads, denc = spa(ws_spa, enc)
+        rgb, normal = dr(ws_dir, heads, noise, dirs)
+        density = heads[:, 1]
+        return rgb, density, normal, (denc if need_grad else None)
+
+    return fused
+
+
+def ref_spatial_weights_from_params(params):
+    """flax RefNeRF params -> the spatial weight tuple (differentiable)."""
+    b1, b2 = params["spa_block1"], params["spa_block2"]
+
+    def kb(layer):
+        return layer["kernel"], layer["bias"].reshape(1, -1)
+
+    w0, b0 = kb(b1["Dense_0"])
+    w1, b1_ = kb(b1["Dense_1"])
+    w2, b2_ = kb(b1["Dense_2"])
+    w3, b3_ = kb(b1["Dense_3"])
+    dx = w0.shape[0]
+    w4, b4 = kb(b2["Dense_0"])
+    w4a, w4b = w4[:dx], w4[dx:]
+    w5, b5 = kb(b2["Dense_1"])
+    w6, b6 = kb(b2["Dense_2"])
+    w7, b7 = kb(b2["Dense_3"])
+    wrt, brt = kb(params["rho_tau_head"])
+    wnct, bnct = kb(params["norm_col_tint_head"])
+    wbn, bbn = kb(params["bottle_neck"])
+    return (w0, b0, w1, b1_, w2, b2_, w3, b3_, w4a, w4b, b4, w5, b5,
+            w6, b6, w7, b7, wrt, brt, wnct, bnct, wbn, bbn)
+
+
+def ref_directional_weights_from_params(params):
+    """flax RefNeRF params -> the directional weight tuple (differentiable)."""
+    b1, b2 = params["dir_block1"], params["dir_block2"]
+
+    def kb(layer):
+        return layer["kernel"], layer["bias"].reshape(1, -1)
+
+    w0, b0 = kb(b1["Dense_0"])
+    w1, b1_ = kb(b1["Dense_1"])
+    w2, b2_ = kb(b1["Dense_2"])
+    w3, b3_ = kb(b1["Dense_3"])
+    dx = w0.shape[0]
+    w4, b4 = kb(b2["Dense_0"])
+    w4a, w4b = w4[:dx], w4[dx:]
+    w5, b5 = kb(b2["Dense_1"])
+    w6, b6 = kb(b2["Dense_2"])
+    w7, b7 = kb(b2["Dense_3"])
+    wh, bh = kb(params["spec_rgb_head"]["Dense_0"])
+    return (w0, b0, w1, b1_, w2, b2_, w3, b3_, w4a, w4b, b4, w5, b5,
+            w6, b6, w7, b7, wh, bh)

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import Any, Dict, Optional, Tuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -195,9 +196,71 @@ def _proposal_weights(prop: ProposalNetwork, prop_params, rays, c_z, cfg,
 # fine stage
 # ---------------------------------------------------------------------------
 
+def _ref_fine_forward_fused(nerf: RefNeRF, nerf_params, pos, dirs, noise_key,
+                            train: bool, need_grad: bool,
+                            cfg: PipelineConfig):
+    """Whole-Ref-NeRF fused kernel path (ops/ref_fused.py).
+
+    ONE Pallas kernel evaluates both MLPs AND the normalize/reflect/IDE/head
+    glue per tile (a kernels-only fusion measured slower than XLA because
+    the glue could not fuse into custom-calls — see ops/ref_fused.py).  PE
+    stays outside (shared fastmath matmul form); the density-gradient
+    normal targets come out of the forward kernel as d(sigma)/d(enc) and are
+    mapped through the PE transpose here.  Only valid for detached targets
+    (cfg.second_order_normals=False) — the caller falls back otherwise.
+    """
+    from nerf_tpu import ops
+    from nerf_tpu.core.encoding import positional_encoding
+    from nerf_tpu.core.fastmath import _pe_tables
+
+    cd, tile, interpret = _fused_kernel_args(cfg)
+    # the ref backward kernels (in-kernel jax.vjp over trunk + glue) hold a
+    # larger live set than the vanilla kernels: tile 512 measured 22.1 MB
+    # against the 16 MB scoped VMEM limit on v5e — cap at 256
+    tile = min(tile, 256)
+    r, p = pos.shape[:2]
+    n = r * p
+    pos_f = jax.lax.stop_gradient(pos).reshape(n, 3)
+    dirs_f = jax.lax.stop_gradient(dirs).reshape(n, 3)
+    enc = jnp.concatenate(
+        [pos_f, positional_encoding(pos_f, nerf.pos_levels)], axis=-1)
+    if train and noise_key is not None and nerf.perturb_bottleneck > 0:
+        noise = nerf.perturb_bottleneck * jax.random.normal(
+            noise_key, (n, nerf.bottleneck_dim), jnp.float32)
+    else:
+        noise = jnp.zeros((n, nerf.bottleneck_dim), jnp.float32)
+
+    fused = ops.make_ref_fused(cd, tile, interpret, need_grad=need_grad,
+                               ide_level=nerf.ide_level,
+                               use_srgb=nerf.use_srgb)
+    ws = (ops.ref_spatial_weights_from_params(nerf_params)
+          + ops.ref_directional_weights_from_params(nerf_params))
+    rgb, raw_density, normal, denc = fused(ws, enc, dirs_f, noise)
+
+    density_grad = None
+    if need_grad:
+        # d(sigma)/d(pos) = denc[:, :3] + PE-transpose(denc[:, 3:]):
+        # PE = sin(pos @ W + b)  =>  dPE^T g = (g * cos(pos @ W + b)) @ W^T
+        w, b = _pe_tables(nerf.pos_levels, 3)
+        proj = jax.lax.dot_general(
+            pos_f, jnp.asarray(w), (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST) + jnp.asarray(b)
+        g = denc[:, :3] + jax.lax.dot_general(
+            denc[:, 3:] * jnp.cos(proj), jnp.asarray(w),
+            (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST)
+        g_norm = jnp.linalg.norm(g, axis=-1, keepdims=True)
+        density_grad = jax.lax.stop_gradient(
+            -(g / jnp.maximum(1e-5, g_norm))).reshape(r, p, 3)
+
+    return (rgb.reshape(r, p, 3), raw_density.reshape(r, p),
+            normal.reshape(r, p, 3), density_grad)
+
+
 def _ref_fine_forward(nerf: RefNeRF, nerf_params, pos, dirs, noise_key,
                       train: bool, need_grad: bool,
-                      second_order: bool = False):
+                      second_order: bool = False,
+                      cfg: Optional[PipelineConfig] = None):
     """Ref-NeRF forward with optional d(sigma)/d(pos) via one shared vjp.
 
     The reference re-walks the torch autograd graph with retain_graph
@@ -206,7 +269,22 @@ def _ref_fine_forward(nerf: RefNeRF, nerf_params, pos, dirs, noise_key,
     recomputation. By default the gradient is a DETACHED constant target,
     matching torch's create_graph=False; ``second_order=True`` keeps it
     differentiable (cfg.second_order_normals).
+
+    With cfg given, use_pallas resolves, and the normal targets are detached
+    (not second_order), the fused-kernel path runs instead (valid: sampled
+    positions carry no parameter gradient, and the density gradient is a
+    constant the spatial kernel computes in its own forward).
     """
+    # The ref fused kernels are opt-in (explicit --pallas), NOT part of the
+    # auto default: measured on v5e at R=1024 they lose to XLA (29.6k vs
+    # 38.3k rays/s) because the IDE/reflection glue that XLA fuses into the
+    # MLP matmul fusions cannot fuse into opaque custom-calls and round-trips
+    # HBM as standalone elementwise ops (~16 ms/step). Winning here needs the
+    # glue INSIDE the directional kernel — tracked for a later round.
+    if (cfg is not None and cfg.use_pallas is True and not second_order
+            and nerf.cat_origin):
+        return _ref_fine_forward_fused(nerf, nerf_params, pos, dirs,
+                                       noise_key, train, need_grad, cfg)
 
     def spatial_fn(p):
         out = nerf.apply({"params": nerf_params}, p, method=RefNeRF.spatial)
@@ -294,7 +372,7 @@ def render_rays_train(models, variables, rays, key, cfg: PipelineConfig):
         dirs = jnp.broadcast_to(rays[:, None, 3:], pos.shape)
         rgb, raw_density, pred_normal, density_grad = _ref_fine_forward(
             nerf, variables["nerf"], pos, dirs, k_noise, train=True,
-            need_grad=True, second_order=cfg.second_order_normals
+            need_grad=True, second_order=cfg.second_order_normals, cfg=cfg
         )
         density = jax.nn.softplus(raw_density + 0.5)  # train.py:181 parity
         fine_rgb, weights, _ = render_lib.composite(
@@ -370,7 +448,8 @@ def render_rays_eval(models, variables, rays, key, cfg: PipelineConfig,
         pos = render_lib.lengths_to_points(rays, z_vals)
         dirs = jnp.broadcast_to(rays[:, None, 3:], pos.shape)
         rgb, raw_density, normal, _ = _ref_fine_forward(
-            nerf, variables["nerf"], pos, dirs, None, train=False, need_grad=False
+            nerf, variables["nerf"], pos, dirs, None, train=False,
+            need_grad=False, cfg=cfg
         )
         density = jax.nn.softplus(raw_density + 0.5)  # procedures.py:74 parity
         act = lambda x: x

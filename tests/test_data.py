@@ -1,5 +1,7 @@
 """Dataset loader, synthetic generator, and sampler tests."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -93,3 +95,39 @@ def test_local_shuffle_sampler_allow_imbalance():
 def test_local_shuffle_sampler_invalid_rank():
     with pytest.raises(ValueError):
         LocalShuffleSampler(4, 2, rank=5)
+
+
+def test_real_schema_fixture_loads():
+    """Checked-in miniature with the REAL nerf-synthetic JSON structure
+    (reference dataset.py:74-96): per-frame `rotation` and `file_path`
+    fields (read by neither loader), an odd image count, and stray
+    normal/alpha PNGs that must be excluded from the listing."""
+    import json
+
+    root = os.path.join(os.path.dirname(__file__), "fixtures", "lego_mini")
+    meta = json.load(open(os.path.join(root, "transforms_train.json")))
+    assert "rotation" in meta["frames"][0]  # the schema field being probed
+
+    ds = BlenderDataset.load(root, "train", white_bkg=True)
+    assert len(ds) == 7  # odd count; normal/alpha files excluded
+    assert ds.names == [f"r_{i}.png" for i in range(7)]
+    assert ds.images.shape == (7, 16, 16, 3)
+    # white-bkg composite: transparent corners become exactly white
+    np.testing.assert_allclose(ds.images[:, 0, 0], 1.0)
+    # poses: top 3x4 of the JSON 4x4, in frame order
+    want = np.asarray(meta["frames"][3]["transform_matrix"], np.float32)[:3]
+    np.testing.assert_allclose(ds.poses[3], want, atol=1e-6)
+
+    # scaling an odd-sized real image works (16 -> 8) + scene scale
+    ds2 = BlenderDataset.load(root, "train", img_scale=0.5, scene_scale=0.5,
+                              white_bkg=True)
+    assert ds2.images.shape == (7, 8, 8, 3)
+    np.testing.assert_allclose(ds2.poses[3, :, 3], want[:, 3] * 0.5,
+                               atol=1e-6)
+
+    # native C++ loader agrees with the PIL oracle on the real schema
+    pil = BlenderDataset.load(root, "train", white_bkg=True, use_native=False)
+    np.testing.assert_allclose(ds.images, pil.images, atol=1.5e-3)
+
+    test_ds = BlenderDataset.load(root, "test", white_bkg=False)
+    assert len(test_ds) == 2

@@ -1,0 +1,117 @@
+"""Fused Ref-NeRF kernels (ops/ref_fused.py) vs the flax/XLA oracle.
+
+Runs on CPU in Pallas interpret mode (tests/conftest.py). The flax modules
+in models/refnerf.py remain the correctness reference: forward values,
+parameter gradients through the whole train loss, and the density-gradient
+normal targets must all agree.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nerf_tpu.train.config import PipelineConfig
+from nerf_tpu.train.pipeline import (
+    _ref_fine_forward, init_variables, make_models,
+)
+
+
+def _setup(use_srgb=False):
+    cfg_base = dict(model="ref", ray_batch=4, n_coarse=8, n_fine=16,
+                    nerf_width=32, prop_width=32, use_srgb=use_srgb,
+                    pallas_tile=64)
+    cfg_xla = PipelineConfig(use_pallas=False, **cfg_base)
+    cfg_fused = PipelineConfig(use_pallas=True, **cfg_base)
+    nerf, _ = make_models(cfg_xla)
+    params = init_variables(cfg_xla, jax.random.PRNGKey(0))["nerf"]
+    rng = np.random.default_rng(3)
+    r, p = 4, 24
+    pos = jnp.asarray(rng.normal(0, 1.5, (r, p, 3)).astype(np.float32))
+    dirs = jnp.asarray(rng.normal(0, 1, (r, 1, 3)).astype(np.float32))
+    dirs = jnp.broadcast_to(dirs, (r, p, 3))
+    return cfg_xla, cfg_fused, nerf, params, pos, dirs
+
+
+@pytest.mark.parametrize("use_srgb", [False, True])
+def test_ref_fused_forward_matches_flax(use_srgb):
+    cfg_xla, cfg_fused, nerf, params, pos, dirs = _setup(use_srgb)
+    out_x = _ref_fine_forward(nerf, params, pos, dirs, None, train=False,
+                              need_grad=True, cfg=cfg_xla)
+    out_f = _ref_fine_forward(nerf, params, pos, dirs, None, train=False,
+                              need_grad=True, cfg=cfg_fused)
+    names = ("rgb", "density", "normal", "density_grad")
+    for name, a, b in zip(names, out_x, out_f):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5,
+                                   err_msg=name)
+
+
+def test_ref_fused_param_grads_match_flax():
+    cfg_xla, cfg_fused, nerf, params, pos, dirs = _setup()
+
+    def loss(p, cfg):
+        rgb, density, normal, dgrad = _ref_fine_forward(
+            nerf, p, pos, dirs, None, train=False, need_grad=True, cfg=cfg)
+        # touch every output the train loss touches: rgb (image loss),
+        # density (composite), normal + detached dgrad (normal losses)
+        return (jnp.sum(rgb ** 2) + jnp.sum(jax.nn.softplus(density + 0.5))
+                + jnp.sum((normal - dgrad) ** 2))
+
+    lx, gx = jax.value_and_grad(lambda p: loss(p, cfg_xla))(params)
+    lf, gf = jax.value_and_grad(lambda p: loss(p, cfg_fused))(params)
+    np.testing.assert_allclose(float(lx), float(lf), rtol=1e-4)
+    flat_x, _ = jax.flatten_util.ravel_pytree(gx)
+    flat_f, _ = jax.flatten_util.ravel_pytree(gf)
+    # identical structure, near-identical values (both paths are f32 here)
+    np.testing.assert_allclose(np.asarray(flat_f), np.asarray(flat_x),
+                               rtol=5e-3, atol=2e-4)
+
+
+def test_ref_fused_noise_path_shapes_and_determinism():
+    """train=True with bottleneck noise: deterministic per key, noisy across
+    keys (stream differs from flax's make_rng but distribution matches)."""
+    cfg_xla, cfg_fused, nerf, params, pos, dirs = _setup()
+    k = jax.random.PRNGKey(7)
+    out1 = _ref_fine_forward(nerf, params, pos, dirs, k, train=True,
+                             need_grad=False, cfg=cfg_fused)
+    out2 = _ref_fine_forward(nerf, params, pos, dirs, k, train=True,
+                             need_grad=False, cfg=cfg_fused)
+    out3 = _ref_fine_forward(nerf, params, pos, dirs, jax.random.PRNGKey(8),
+                             train=True, need_grad=False, cfg=cfg_fused)
+    np.testing.assert_array_equal(np.asarray(out1[0]), np.asarray(out2[0]))
+    # different key -> different noise -> (at least slightly) different rgb
+    assert not np.array_equal(np.asarray(out1[0]), np.asarray(out3[0]))
+    assert out1[3] is None  # need_grad=False -> no density grad
+
+
+def test_ref_train_pipeline_fused_matches_xla():
+    """Whole render_rays_train on the ref model: fused vs XLA, values+grads."""
+    from nerf_tpu.train.step import compute_loss
+
+    cfg_base = dict(model="ref", ray_batch=8, n_coarse=8, n_fine=16,
+                    nerf_width=32, prop_width=32, pallas_tile=64,
+                    bottleneck_noise=0.0)  # noise off: streams differ
+    cfg_xla = PipelineConfig(use_pallas=False, **cfg_base)
+    cfg_fused = PipelineConfig(use_pallas=True, **cfg_base)
+    models_x = make_models(cfg_xla)
+    models_f = make_models(cfg_fused)
+    params = init_variables(cfg_xla, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(5)
+    rays = jnp.asarray(np.concatenate([
+        np.zeros((8, 3), np.float32),
+        (rng.normal(0, 0.1, (8, 3)) + [0, 0, -1]).astype(np.float32),
+    ], axis=-1))
+    rgb_gt = jnp.asarray(rng.uniform(size=(8, 3)).astype(np.float32))
+    key = jax.random.PRNGKey(11)
+
+    def loss_fn(p, models, cfg):
+        loss, metrics = compute_loss(models, p, rays, rgb_gt, key, cfg)
+        return loss
+
+    lx, gx = jax.value_and_grad(lambda p: loss_fn(p, models_x, cfg_xla))(params)
+    lf, gf = jax.value_and_grad(lambda p: loss_fn(p, models_f, cfg_fused))(params)
+    np.testing.assert_allclose(float(lf), float(lx), rtol=1e-4)
+    flat_x, _ = jax.flatten_util.ravel_pytree(gx)
+    flat_f, _ = jax.flatten_util.ravel_pytree(gf)
+    np.testing.assert_allclose(np.asarray(flat_f), np.asarray(flat_x),
+                               rtol=5e-3, atol=3e-4)
