@@ -63,12 +63,15 @@ def ma_main():
                              "under -div)")
     parser.add_argument("--coordinator", type=str, default=None,
                         help="multi-host coordinator address (host:port)")
+    parser.add_argument("--num_processes", type=int, default=None)
+    parser.add_argument("--process_id", type=int, default=None)
     args = parser.parse_args()
 
     if args.coordinator is not None:
         from nerf_tpu.parallel import initialize_distributed
 
-        initialize_distributed(args.coordinator)
+        initialize_distributed(args.coordinator, args.num_processes,
+                               args.process_id)
     if args.do_render:
         render_only(args)
         return

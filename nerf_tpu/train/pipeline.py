@@ -199,43 +199,38 @@ def _proposal_weights(prop: ProposalNetwork, prop_params, rays, c_z, cfg,
 def _ref_fine_forward_fused(nerf: RefNeRF, nerf_params, pos, dirs, noise_key,
                             train: bool, need_grad: bool,
                             cfg: PipelineConfig):
-    """Whole-Ref-NeRF fused kernel path (ops/ref_fused.py).
+    """Hybrid fused Ref-NeRF forward: Pallas spatial kernel + XLA directional.
 
-    ONE Pallas kernel evaluates both MLPs AND the normalize/reflect/IDE/head
-    glue per tile (a kernels-only fusion measured slower than XLA because
-    the glue could not fuse into custom-calls — see ops/ref_fused.py).  PE
-    stays outside (shared fastmath matmul form); the density-gradient
-    normal targets come out of the forward kernel as d(sigma)/d(enc) and are
-    mapped through the PE transpose here.  Only valid for detached targets
-    (cfg.second_order_normals=False) — the caller falls back otherwise.
+    Trace-driven split (BENCHMARKS.md round-2 notes): the spatial kernel
+    computes the trunk, the packed heads AND the density-gradient normal
+    targets (d sigma / d enc) in one VMEM residency at ~79% MFU — 2.6 ms vs
+    the XLA path's 8.9 ms of three near-roofline HBM passes.  The
+    directional branch stays in XLA, where the IDE/reflection glue fuses
+    into the matmul fusions; inside a Pallas kernel the same glue runs as
+    narrow (T, 1..19) VPU ops at ~17% MFU and LOSES (measured 31.2k vs
+    38.3k rays/s for the all-kernel variant, which remains available as
+    ops.make_ref_fused and is exercised by tests).
+
+    Only valid for detached normal targets (cfg.second_order_normals=False)
+    — the caller falls back to the flax path otherwise.
     """
     from nerf_tpu import ops
     from nerf_tpu.core.encoding import positional_encoding
     from nerf_tpu.core.fastmath import _pe_tables
+    from nerf_tpu.ops.ref_fused import _make_spa_fused
 
     cd, tile, interpret = _fused_kernel_args(cfg)
-    # the ref backward kernels (in-kernel jax.vjp over trunk + glue) hold a
-    # larger live set than the vanilla kernels: tile 512 measured 22.1 MB
-    # against the 16 MB scoped VMEM limit on v5e — cap at 256
+    # the spatial backward (in-kernel jax.vjp) exceeds the 16 MB scoped VMEM
+    # limit at tile 512; 256 measured fastest of the fitting tiles
     tile = min(tile, 256)
     r, p = pos.shape[:2]
     n = r * p
     pos_f = jax.lax.stop_gradient(pos).reshape(n, 3)
-    dirs_f = jax.lax.stop_gradient(dirs).reshape(n, 3)
     enc = jnp.concatenate(
         [pos_f, positional_encoding(pos_f, nerf.pos_levels)], axis=-1)
-    if train and noise_key is not None and nerf.perturb_bottleneck > 0:
-        noise = nerf.perturb_bottleneck * jax.random.normal(
-            noise_key, (n, nerf.bottleneck_dim), jnp.float32)
-    else:
-        noise = jnp.zeros((n, nerf.bottleneck_dim), jnp.float32)
 
-    fused = ops.make_ref_fused(cd, tile, interpret, need_grad=need_grad,
-                               ide_level=nerf.ide_level,
-                               use_srgb=nerf.use_srgb)
-    ws = (ops.ref_spatial_weights_from_params(nerf_params)
-          + ops.ref_directional_weights_from_params(nerf_params))
-    rgb, raw_density, normal, denc = fused(ws, enc, dirs_f, noise)
+    spa = _make_spa_fused(cd, tile, interpret, need_grad)
+    heads, denc = spa(ops.ref_spatial_weights_from_params(nerf_params), enc)
 
     density_grad = None
     if need_grad:
@@ -253,8 +248,29 @@ def _ref_fine_forward_fused(nerf: RefNeRF, nerf_params, pos, dirs, noise_key,
         density_grad = jax.lax.stop_gradient(
             -(g / jnp.maximum(1e-5, g_norm))).reshape(r, p, 3)
 
-    return (rgb.reshape(r, p, 3), raw_density.reshape(r, p),
-            normal.reshape(r, p, 3), density_grad)
+    # spatial post-processing identical to RefNeRF.spatial
+    # (models/refnerf.py:79-92), then the flax directional branch — it
+    # accepts the spatial_out dict, so gradients flow back through `heads`
+    # into the kernel's weight-grad VJP
+    dtype = nerf.dtype
+    raw_density = heads[:, 1]
+    normal = (-heads[:, 2:5]
+              / (jnp.linalg.norm(heads[:, 2:5], axis=-1, keepdims=True)
+                 + 1e-7))
+    spatial_out = {
+        "density": raw_density.reshape(r, p),
+        "normal": normal.reshape(r, p, 3),
+        "roughness": jax.nn.softplus(
+            heads[:, 0:1] - 1.0).astype(dtype).reshape(r, p, 1),
+        "diffuse": heads[:, 5:8].astype(dtype).reshape(r, p, 3),
+        "tint": heads[:, 8:11].astype(dtype).reshape(r, p, 3),
+        "bottleneck": heads[:, 11:].astype(dtype).reshape(r, p, -1),
+    }
+    rngs = {"noise": noise_key} if (train and noise_key is not None) else None
+    rgb = nerf.apply({"params": nerf_params}, spatial_out, dirs, train,
+                     method=RefNeRF.directional, rngs=rngs)
+    return (rgb, raw_density.reshape(r, p),
+            normal.astype(jnp.float32).reshape(r, p, 3), density_grad)
 
 
 def _ref_fine_forward(nerf: RefNeRF, nerf_params, pos, dirs, noise_key,

@@ -84,6 +84,63 @@ def test_ref_fused_noise_path_shapes_and_determinism():
     assert out1[3] is None  # need_grad=False -> no density grad
 
 
+def test_ref_all_kernel_variant_matches_flax():
+    """ops.make_ref_fused (the ALL-kernel variant incl. the directional+glue
+    kernel; kept available though the default fused path is the hybrid
+    spatial-kernel + XLA-directional split) — values and weight grads vs the
+    flax oracle."""
+    from nerf_tpu import ops
+    from nerf_tpu.core.encoding import positional_encoding
+
+    cfg_xla, _, nerf, params, pos, dirs = _setup()
+    r, p = pos.shape[:2]
+    n = r * p
+    pos_f = pos.reshape(n, 3)
+    dirs_f = dirs.reshape(n, 3)
+    enc = jnp.concatenate(
+        [pos_f, positional_encoding(pos_f, nerf.pos_levels)], axis=-1)
+    noise = jnp.zeros((n, nerf.bottleneck_dim), jnp.float32)
+
+    def run(prm):
+        fused = ops.make_ref_fused(jnp.float32, 64, interpret=True,
+                                   need_grad=True, ide_level=nerf.ide_level,
+                                   use_srgb=False)
+        ws = (ops.ref_spatial_weights_from_params(prm)
+              + ops.ref_directional_weights_from_params(prm))
+        rgb, density, normal, denc = fused(ws, enc, dirs_f, noise)
+        return rgb, density, normal, denc
+
+    rgb, density, normal, denc = run(params)
+    o_rgb, o_den, o_nor, o_grad = _ref_fine_forward(
+        nerf, params, pos, dirs, None, train=False, need_grad=True,
+        cfg=cfg_xla)
+    np.testing.assert_allclose(np.asarray(rgb).reshape(r, p, 3),
+                               np.asarray(o_rgb), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(density).reshape(r, p),
+                               np.asarray(o_den), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(normal).reshape(r, p, 3),
+                               np.asarray(o_nor), atol=2e-5)
+
+    def loss_k(prm):
+        rgb, density, normal, _ = run(prm)
+        return (jnp.sum(rgb ** 2) + jnp.sum(jax.nn.softplus(density + 0.5))
+                + jnp.sum(normal ** 2))
+
+    def loss_x(prm):
+        rgb, density, normal, _ = _ref_fine_forward(
+            nerf, prm, pos, dirs, None, train=False, need_grad=True,
+            cfg=cfg_xla)
+        return (jnp.sum(rgb ** 2) + jnp.sum(jax.nn.softplus(density + 0.5))
+                + jnp.sum(normal ** 2))
+
+    gk = jax.grad(loss_k)(params)
+    gx = jax.grad(loss_x)(params)
+    fk, _ = jax.flatten_util.ravel_pytree(gk)
+    fx, _ = jax.flatten_util.ravel_pytree(gx)
+    np.testing.assert_allclose(np.asarray(fk), np.asarray(fx), rtol=5e-3,
+                               atol=2e-4)
+
+
 def test_ref_train_pipeline_fused_matches_xla():
     """Whole render_rays_train on the ref model: fused vs XLA, values+grads."""
     from nerf_tpu.train.step import compute_loss
