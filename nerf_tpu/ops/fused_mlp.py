@@ -113,10 +113,13 @@ def _vanilla_fwd_kernel(encx_ref, encd_ref, *rest):
 
 
 def _vanilla_bwd_kernel(encx_ref, encd_ref, g_ref, *rest):
+    _vanilla_bwd_tile(encx_ref[:], encd_ref[:], g_ref[:], rest)
+
+
+def _vanilla_bwd_tile(x, d, g, rest):
     r, grads = rest[:N_VANILLA_WS], rest[N_VANILLA_WS:]
     (w0, b0, w1, b1, w2, b2, w3, b3, w4a, w4b, b4, w5, b5, w6, b6,
      wsig, bsig, wb, bb, wr1a, wr1b, br1, wr2, br2) = r
-    x, d = encx_ref[:], encd_ref[:]
     cd = x.dtype
     h1, h2, h3, h4, z5, z6, z7, _, bvec, r1, rgb = \
         _vanilla_forward_tile(x, d, r)
@@ -126,7 +129,6 @@ def _vanilla_bwd_kernel(encx_ref, encd_ref, g_ref, *rest):
         for gref in grads:
             gref[:] = jnp.zeros_like(gref)
 
-    g = g_ref[:]
     grgb, gsig = g[:, :3], g[:, 3:4]
     dlogit = (grgb * rgb * (1.0 - rgb)).astype(cd)
     dr1 = jnp.where(r1.astype(F32) > 0, _dwt(dlogit, wr2), 0.0).astype(cd)
@@ -311,9 +313,12 @@ def _prop_fwd_kernel(encx_ref, *rest):
 
 
 def _prop_bwd_kernel(encx_ref, g_ref, *rest):
+    _prop_bwd_tile(encx_ref[:], g_ref[:], rest)
+
+
+def _prop_bwd_tile(x, g, rest):
     r, grads = rest[:N_PROP_WS], rest[N_PROP_WS:]
     w0, b0, w1, b1, w2, b2, w3, b3, wo, bo = r
-    x = encx_ref[:]
     cd = x.dtype
     h1, h2, h3, h4, _ = _prop_forward_tile(x, r)
 
@@ -322,7 +327,7 @@ def _prop_bwd_kernel(encx_ref, g_ref, *rest):
         for gref in grads:
             gref[:] = jnp.zeros_like(gref)
 
-    go = g_ref[:].astype(cd)                    # (T, 1)
+    go = g.astype(cd)                    # (T, 1)
     dh4 = jnp.where(h4.astype(F32) > 0, _dwt(go, wo), 0.0).astype(cd)
     dh3 = jnp.where(h3.astype(F32) > 0, _dwt(dh4, w3), 0.0).astype(cd)
     dh2 = jnp.where(h2.astype(F32) > 0, _dwt(dh3, w2), 0.0).astype(cd)

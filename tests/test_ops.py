@@ -115,3 +115,4 @@ class TestPropFused:
         jax.tree_util.tree_map(
             lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5),
             gr, gf)
+
