@@ -128,10 +128,15 @@ def _apply_vanilla(nerf: VanillaNeRF, params, pos, dirs, cfg: PipelineConfig,
     pos_f = pos.reshape(r * p, 3)
     dirs_f = dirs.reshape(r * p, 3)
     dirs_n = dirs_f / jnp.linalg.norm(dirs_f, axis=-1, keepdims=True)
+    cd = _fused_kernel_args(cfg)[0]
+    # cast to the kernel compute dtype AT construction so the convert fuses
+    # into the sin fusion instead of being a separate (N, 63) round trip
     enc_x = jnp.concatenate(
-        [pos_f, positional_encoding(pos_f, nerf.pos_levels)], axis=-1)
+        [pos_f, positional_encoding(pos_f, nerf.pos_levels)],
+        axis=-1).astype(cd)
     enc_d = jnp.concatenate(
-        [dirs_n, positional_encoding(dirs_n, nerf.dir_levels)], axis=-1)
+        [dirs_n, positional_encoding(dirs_n, nerf.dir_levels)],
+        axis=-1).astype(cd)
     fused = ops.make_vanilla_fused(*_fused_kernel_args(cfg))
     rgb, sigma = fused(ops.vanilla_weights_from_params(params), enc_x, enc_d)
     return rgb.reshape(r, p, 3), sigma.reshape(r, p)
@@ -149,7 +154,8 @@ def _apply_prop(prop: ProposalNetwork, params, pts, cfg: PipelineConfig):
     r, p = pts.shape[:2]
     pts_f = pts.reshape(r * p, 3)
     enc = jnp.concatenate(
-        [pts_f, positional_encoding(pts_f, prop.pos_levels)], axis=-1)
+        [pts_f, positional_encoding(pts_f, prop.pos_levels)],
+        axis=-1).astype(_fused_kernel_args(cfg)[0])
     fused = ops.make_prop_fused(*_fused_kernel_args(cfg))
     return fused(ops.prop_weights_from_params(params), enc).reshape(r, p)
 
@@ -433,6 +439,10 @@ def render_rays_eval(models, variables, rays, key, cfg: PipelineConfig,
     how rays are chunked.
     """
     nerf, prop = models
+    # eval is forward-only: the fused kernels' win is BACKWARD activation
+    # traffic, and at eval-chunk shapes the XLA forward is faster (measured
+    # v5e, 400x400 frame: vanilla 0.513 vs 0.734 s/frame, ref 1.16 vs 1.28)
+    cfg = cfg.replace(use_pallas=False)
     sample_num = cfg.n_fine if sample_num is None else sample_num
     if noise is None:
         k_strat, k_inv = jax.random.split(key)
