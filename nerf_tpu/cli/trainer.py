@@ -265,6 +265,28 @@ class Trainer:
         rows = rows[:, : steps * self.n_data]
         return rows.reshape(self.n_replica, steps, self.n_data).transpose(1, 0, 2)
 
+    def _mfu(self, rays_per_sec_per_chip: float) -> float:
+        """Model-FLOPs utilization per chip (nerf_tpu/utils/flops.py; peak
+        assumes v5e bf16 — a relative health meter, not an absolute claim on
+        other chips)."""
+        if not hasattr(self, "_flops_per_step"):
+            from nerf_tpu.utils.flops import train_step_flops
+
+            # shapes only (no device reads — multi-process-safe); distributed
+            # modes drop the leading replica axis
+            strip = 0 if self.mode == "single" else 1
+            shapes = jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(x.shape[strip:], x.dtype),
+                self.state.params)
+            try:
+                self._flops_per_step = train_step_flops(self.cfg, shapes)
+            except Exception:
+                self._flops_per_step = 0.0
+        from nerf_tpu.utils.flops import V5E_BF16_PEAK
+
+        steps_s = rays_per_sec_per_chip / self.cfg.ray_batch
+        return steps_s * self._flops_per_step / V5E_BF16_PEAK
+
     def eval_params(self):
         if self.mode == "single":
             return self.state.params
@@ -458,10 +480,14 @@ class Trainer:
             # every device (data AND replica axes) trains ray_batch rays/step
             n_dev = self.n_data * self.n_replica
             rays_s = steps * n_dev * self.cfg.ray_batch / max(dt, 1e-9)
-            print(f"Epoch {ep:4d} / {args.epochs:4d}\tloss: {loss:.4f}\t"
-                  f"PSNR: {psnr:.3f}\tlr: {lr_now:.7f}\t{rays_s:,.0f} rays/s\t"
-                  f"ETA: {self.train_timer.eta_str(args.epochs - ep - 1)}")
+            if self.is_main:
+                print(f"Epoch {ep:4d} / {args.epochs:4d}\tloss: {loss:.4f}\t"
+                      f"PSNR: {psnr:.3f}\tlr: {lr_now:.7f}\t"
+                      f"{rays_s:,.0f} rays/s\t"
+                      f"MFU: {self._mfu(rays_s / n_dev) * 100:.1f}%\t"
+                      f"ETA: {self.train_timer.eta_str(args.epochs - ep - 1)}")
             self.writer.add_scalar("Time/epoch", dt, ep)
+            self.writer.add_scalar("MFU", self._mfu(rays_s / n_dev), ep)
 
             if ((ep % args.output_time == 0) or ep == args.epochs - 1) \
                     and ep > self.epoch_start:

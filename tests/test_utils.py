@@ -120,3 +120,32 @@ class TestDebug:
         with nan_debug(True):
             assert jax.config.jax_debug_nans
         assert jax.config.jax_debug_nans == before
+
+
+def test_flops_model_matches_hand_count():
+    """train_step_flops: hand-counted MACs for a tiny config, all models."""
+    import jax
+
+    from nerf_tpu.train.config import PipelineConfig
+    from nerf_tpu.train.pipeline import init_variables
+    from nerf_tpu.utils.flops import mfu, train_step_flops
+
+    cfg = PipelineConfig(model="vanilla", ray_batch=4, n_coarse=8, n_fine=16,
+                         nerf_width=32, prop_width=32)
+    params = init_variables(cfg, jax.random.PRNGKey(0))
+    # prop MACs/pt: 63*32 + 3*32*32 + 32*1 = 5120
+    # vanilla fine MACs/pt (hidden=32, bottleneck stays at its default 256):
+    #   block1 63*32 + 3*32*32 = 5088
+    #   block2 (63+32)*32 + 32*32 + 32*256 = 12256
+    #   sigma 256*1 = 256; bottle_neck 256*256 = 65536
+    #   rgb (256+27)*128 + 128*3 = 36608          -> total 119744
+    want = 2.0 * 4 * (16 * 3 * 119744 + 8 * 3 * 5120)
+    got = train_step_flops(cfg, params)
+    assert got == want, (got, want)
+    assert abs(mfu(cfg, params, 1000.0, peak_flops=1e9)
+               - (1000.0 / 4) * want / 1e9) < 1e-9
+
+    for model in ("ref", "mip"):
+        cfg_m = cfg.replace(model=model)
+        p_m = init_variables(cfg_m, jax.random.PRNGKey(0))
+        assert train_step_flops(cfg_m, p_m) > 0
