@@ -108,30 +108,62 @@ def _spa_pure(ws, enc, cd):
     return rho_tau, nct, bn
 
 
-def _ide_pure(xyz, kappa_inv, mat, sigma, m_arr, l_max):
+def _ide_pure(xyz, kappa_inv, mat, sigma, m_row, l_max):
     """integrated_dir_enc (core/encoding.py:190-230) with the static channel
     gather re_pows[..., m_arr] rewritten as column-slice concats (Mosaic has
-    no in-kernel gather).  ``mat`` (l_max+1, C) and ``sigma`` (1, C) are
-    kernel INPUTS (Pallas rejects captured array constants)."""
+    no in-kernel gather).
+
+    The wide z-Vandermonde uses exp(i * log|z|) * sign(z)^i on a (T, 9)
+    tensor (grad-safe clamps: padded tile rows are exactly zero and the
+    clamp's zero gradient keeps zero cotangents zero).  The complex powers
+    (x+iy)^m stay as the sequential real-pair recurrence: the wide polar
+    form r^m e^{i m theta} needs atan2, which Mosaic has NO lowering for
+    (NotImplementedError on TPU; a polynomial atan could replace it if this
+    kernel ever needs the last ~2x of glue throughput).  These narrow
+    (T, 1) recurrence ops are the measured reason the directional kernel
+    runs at ~17% MFU — see BENCHMARKS.md round-2 notes.
+
+    ``mat`` (l_max+1, C), ``sigma`` (1, C) and ``m_row`` (1, C) are kernel
+    INPUTS (Pallas rejects captured array constants); ``l_max`` is static.
+    """
+    tiny = 1e-20
     x, y, z = xyz[:, 0:1], xyz[:, 1:2], xyz[:, 2:3]
-    # product-form powers (not z**i): integer_pow's gradient is
-    # i * z**(i-1), which is 0 * z**-1 = NaN at z == 0 — and the PADDED rows
-    # of a partial tile are exactly zero
-    zp = [jnp.ones_like(z)]
-    for _ in range(l_max):
-        zp.append(zp[-1] * z)
-    vz = jnp.concatenate(zp, axis=-1)
+
+    # z-Vandermonde, wide: (T, l_max+1); iota built in-kernel (Mosaic's
+    # tpu.iota is integer-only — build i32 and convert)
+    i_row = jax.lax.broadcasted_iota(
+        jnp.int32, (1, l_max + 1), 1).astype(F32)
+    logz = jnp.log(jnp.maximum(jnp.abs(z), tiny))
+    odd = i_row - 2.0 * jnp.floor(i_row * 0.5)  # sign(z)^i: odd-i mask
+    sgn = jnp.where(z < 0, -1.0, 1.0)
+    vz = jnp.exp(i_row * logz) * (1.0 - odd + odd * sgn)
     vz_mat = jnp.dot(vz, mat, preferred_element_type=F32)
+
+    # (x+iy)^m: real-pair power recurrence (product form; no integer_pow —
+    # its gradient is NaN at exactly-zero padded rows)
     re_p, im_p = [jnp.ones_like(x)], [jnp.zeros_like(x)]
     for _ in range(l_max):
         re, im = re_p[-1], im_p[-1]
         re_p.append(re * x - im * y)
         im_p.append(re * y + im * x)
+    m_arr = _M_ARR_BY_LMAX[l_max]
     re_xy = jnp.concatenate([re_p[m] for m in m_arr], axis=-1)
     im_xy = jnp.concatenate([im_p[m] for m in m_arr], axis=-1)
+
     atten = jnp.exp(-sigma * kappa_inv)
     return jnp.concatenate([re_xy * vz_mat * atten,
                             im_xy * vz_mat * atten], axis=-1)
+
+
+# static channel orders per l_max (deg_view 1..5): [m for l in 2^i for m<=l]
+_M_ARR_BY_LMAX = {
+    1: [0, 1],
+    2: [0, 1, 0, 1, 2],
+    4: [0, 1, 0, 1, 2, 0, 1, 2, 3, 4],
+    8: [0, 1, 0, 1, 2, 0, 1, 2, 3, 4, 0, 1, 2, 3, 4, 5, 6, 7, 8],
+    16: [0, 1, 0, 1, 2, 0, 1, 2, 3, 4, 0, 1, 2, 3, 4, 5, 6, 7, 8]
+        + list(range(17)),
+}
 
 
 def _srgb_pure(linear):
@@ -160,8 +192,8 @@ def _glue_heads(heads):
     return roughness, density, normal, heads[:, 5:8], heads[:, 8:11], heads[:, 11:]
 
 
-def _dir_glue_pure(ws_dir, heads, noise, dirs, mat, sigma, cd, m_arr, l_max,
-                   use_srgb):
+def _dir_glue_pure(ws_dir, heads, noise, dirs, mat, sigma, m_row, cd,
+                   l_max, use_srgb):
     """Directional branch INCLUDING the glue: heads -> (rgb, normal).
 
     Everything downstream of the spatial heads in one traceable function:
@@ -173,7 +205,7 @@ def _dir_glue_pure(ws_dir, heads, noise, dirs, mat, sigma, cd, m_arr, l_max,
     b_vec = bn + noise
     d_dot_n = jnp.sum(dirs * normal, axis=-1, keepdims=True)
     reflect = dirs - 2.0 * d_dot_n * normal
-    wr_ide = _ide_pure(reflect, roughness, mat, sigma, m_arr, l_max)
+    wr_ide = _ide_pure(reflect, roughness, mat, sigma, m_row, l_max)
     x = jnp.concatenate([b_vec, wr_ide, d_dot_n], axis=-1)
 
     (w0, b0, w1, b1, w2, b2, w3, b3, w4a, w4b, b4, w5, b5, w6, b6,
@@ -246,28 +278,25 @@ def _make_spa_bwd_kernel(cd):
 
 
 def _make_dir_fwd_kernel(cd, ide_level, use_srgb):
-    tables = ide_tables(ide_level)
-    m_arr = tuple(int(m) for m in tables["m_arr"])
-    l_max = int(tables["l_max"])
+    l_max = int(ide_tables(ide_level)["l_max"])
 
-    def kernel(heads_ref, noise_ref, dirs_ref, mat_ref, sigma_ref, *rest):
+    def kernel(heads_ref, noise_ref, dirs_ref, mat_ref, sigma_ref, marr_ref,
+               *rest):
         ws = tuple(r[:] for r in rest[:N_REF_DIR_WS])
         out_ref = rest[N_REF_DIR_WS]
         rgb, normal = _dir_glue_pure(
             ws, heads_ref[:], noise_ref[:], dirs_ref[:], mat_ref[:],
-            sigma_ref[:], cd, m_arr, l_max, use_srgb)
+            sigma_ref[:], marr_ref[:], cd, l_max, use_srgb)
         out_ref[:] = jnp.concatenate([rgb, normal], axis=1)  # (T, 6)
 
     return kernel
 
 
 def _make_dir_bwd_kernel(cd, ide_level, use_srgb):
-    tables = ide_tables(ide_level)
-    m_arr = tuple(int(m) for m in tables["m_arr"])
-    l_max = int(tables["l_max"])
+    l_max = int(ide_tables(ide_level)["l_max"])
 
     def kernel(heads_ref, noise_ref, dirs_ref, g_ref, mat_ref, sigma_ref,
-               *rest):
+               marr_ref, *rest):
         wrefs = rest[:N_REF_DIR_WS]
         dheads_ref = rest[N_REF_DIR_WS]
         grads = rest[N_REF_DIR_WS + 1:]
@@ -281,8 +310,8 @@ def _make_dir_bwd_kernel(cd, ide_level, use_srgb):
 
         def full(ws_t, heads_t):
             return _dir_glue_pure(ws_t, heads_t, noise_ref[:], dirs_ref[:],
-                                  mat_ref[:], sigma_ref[:], cd, m_arr, l_max,
-                                  use_srgb)
+                                  mat_ref[:], sigma_ref[:], marr_ref[:], cd,
+                                  l_max, use_srgb)
 
         _, vjp_fn = jax.vjp(full, ws, heads)
         g = g_ref[:]
@@ -366,6 +395,7 @@ def _make_dir_fused(cd, tile, interpret, ide_level, use_srgb):
     tables = ide_tables(ide_level)
     ide_mat = np.asarray(tables["mat"], np.float32)
     ide_sigma = np.asarray(tables["sigma"], np.float32).reshape(1, -1)
+    ide_mrow = np.asarray(tables["m_arr"], np.float32).reshape(1, -1)
 
     def _prep(ws):
         return tuple(w.astype(F32) if w.shape[0] == 1 else w.astype(cd)
@@ -383,12 +413,13 @@ def _make_dir_fused(cd, tile, interpret, ide_level, use_srgb):
             grid=grid,
             in_specs=[_row_spec(tile, h.shape[1]),
                       _row_spec(tile, nz.shape[1]), _row_spec(tile, 3),
-                      _full_spec(ide_mat.shape), _full_spec(ide_sigma.shape)]
+                      _full_spec(ide_mat.shape), _full_spec(ide_sigma.shape),
+                      _full_spec(ide_mrow.shape)]
             + [_full_spec(w.shape) for w in wsc],
             out_specs=_row_spec(tile, 6),
             out_shape=jax.ShapeDtypeStruct((h.shape[0], 6), F32),
             interpret=interpret,
-        )(h, nz, d, jnp.asarray(ide_mat), jnp.asarray(ide_sigma), *wsc)
+        )(h, nz, d, ide_mat, ide_sigma, ide_mrow, *wsc)
         return out[:n, 0:3], out[:n, 3:6]
 
     @jax.custom_vjp
@@ -416,15 +447,15 @@ def _make_dir_fused(cd, tile, interpret, ide_level, use_srgb):
             in_specs=[_row_spec(tile, h.shape[1]),
                       _row_spec(tile, nz.shape[1]), _row_spec(tile, 3),
                       _row_spec(tile, 6),
-                      _full_spec(ide_mat.shape), _full_spec(ide_sigma.shape)]
+                      _full_spec(ide_mat.shape), _full_spec(ide_sigma.shape),
+                      _full_spec(ide_mrow.shape)]
             + [_full_spec(w.shape) for w in wsc],
             out_specs=(_row_spec(tile, h.shape[1]),)
             + tuple(_full_spec(w.shape) for w in wsc),
             out_shape=(jax.ShapeDtypeStruct(h.shape, F32),)
             + tuple(jax.ShapeDtypeStruct(w.shape, F32) for w in wsc),
             interpret=interpret,
-        )(h, nz, d, gfull, jnp.asarray(ide_mat), jnp.asarray(ide_sigma),
-          *wsc)
+        )(h, nz, d, gfull, ide_mat, ide_sigma, ide_mrow, *wsc)
         dheads, dws = outs[0], outs[1:]
         dws = tuple(dg.astype(w.dtype) for dg, w in zip(dws, ws))
         return (dws, dheads[:n].astype(heads.dtype), jnp.zeros_like(noise),
