@@ -108,7 +108,7 @@ def _spa_pure(ws, enc, cd):
     return rho_tau, nct, bn
 
 
-def _ide_pure(xyz, kappa_inv, mat, sigma, m_row, l_max):
+def _ide_pure(xyz, kappa_inv, mat, sigma, l_max):
     """integrated_dir_enc (core/encoding.py:190-230) with the static channel
     gather re_pows[..., m_arr] rewritten as column-slice concats (Mosaic has
     no in-kernel gather).
@@ -123,8 +123,8 @@ def _ide_pure(xyz, kappa_inv, mat, sigma, m_row, l_max):
     (T, 1) recurrence ops are the measured reason the directional kernel
     runs at ~17% MFU — see BENCHMARKS.md round-2 notes.
 
-    ``mat`` (l_max+1, C), ``sigma`` (1, C) and ``m_row`` (1, C) are kernel
-    INPUTS (Pallas rejects captured array constants); ``l_max`` is static.
+    ``mat`` (l_max+1, C) and ``sigma`` (1, C) are kernel INPUTS (Pallas
+    rejects captured array constants); ``l_max`` is static.
     """
     tiny = 1e-20
     x, y, z = xyz[:, 0:1], xyz[:, 1:2], xyz[:, 2:3]
@@ -192,7 +192,7 @@ def _glue_heads(heads):
     return roughness, density, normal, heads[:, 5:8], heads[:, 8:11], heads[:, 11:]
 
 
-def _dir_glue_pure(ws_dir, heads, noise, dirs, mat, sigma, m_row, cd,
+def _dir_glue_pure(ws_dir, heads, noise, dirs, mat, sigma, cd,
                    l_max, use_srgb):
     """Directional branch INCLUDING the glue: heads -> (rgb, normal).
 
@@ -205,7 +205,7 @@ def _dir_glue_pure(ws_dir, heads, noise, dirs, mat, sigma, m_row, cd,
     b_vec = bn + noise
     d_dot_n = jnp.sum(dirs * normal, axis=-1, keepdims=True)
     reflect = dirs - 2.0 * d_dot_n * normal
-    wr_ide = _ide_pure(reflect, roughness, mat, sigma, m_row, l_max)
+    wr_ide = _ide_pure(reflect, roughness, mat, sigma, l_max)
     x = jnp.concatenate([b_vec, wr_ide, d_dot_n], axis=-1)
 
     (w0, b0, w1, b1, w2, b2, w3, b3, w4a, w4b, b4, w5, b5, w6, b6,
@@ -280,13 +280,12 @@ def _make_spa_bwd_kernel(cd):
 def _make_dir_fwd_kernel(cd, ide_level, use_srgb):
     l_max = int(ide_tables(ide_level)["l_max"])
 
-    def kernel(heads_ref, noise_ref, dirs_ref, mat_ref, sigma_ref, marr_ref,
-               *rest):
+    def kernel(heads_ref, noise_ref, dirs_ref, mat_ref, sigma_ref, *rest):
         ws = tuple(r[:] for r in rest[:N_REF_DIR_WS])
         out_ref = rest[N_REF_DIR_WS]
         rgb, normal = _dir_glue_pure(
             ws, heads_ref[:], noise_ref[:], dirs_ref[:], mat_ref[:],
-            sigma_ref[:], marr_ref[:], cd, l_max, use_srgb)
+            sigma_ref[:], cd, l_max, use_srgb)
         out_ref[:] = jnp.concatenate([rgb, normal], axis=1)  # (T, 6)
 
     return kernel
@@ -296,7 +295,7 @@ def _make_dir_bwd_kernel(cd, ide_level, use_srgb):
     l_max = int(ide_tables(ide_level)["l_max"])
 
     def kernel(heads_ref, noise_ref, dirs_ref, g_ref, mat_ref, sigma_ref,
-               marr_ref, *rest):
+               *rest):
         wrefs = rest[:N_REF_DIR_WS]
         dheads_ref = rest[N_REF_DIR_WS]
         grads = rest[N_REF_DIR_WS + 1:]
@@ -310,7 +309,7 @@ def _make_dir_bwd_kernel(cd, ide_level, use_srgb):
 
         def full(ws_t, heads_t):
             return _dir_glue_pure(ws_t, heads_t, noise_ref[:], dirs_ref[:],
-                                  mat_ref[:], sigma_ref[:], marr_ref[:], cd,
+                                  mat_ref[:], sigma_ref[:], cd,
                                   l_max, use_srgb)
 
         _, vjp_fn = jax.vjp(full, ws, heads)
@@ -395,7 +394,6 @@ def _make_dir_fused(cd, tile, interpret, ide_level, use_srgb):
     tables = ide_tables(ide_level)
     ide_mat = np.asarray(tables["mat"], np.float32)
     ide_sigma = np.asarray(tables["sigma"], np.float32).reshape(1, -1)
-    ide_mrow = np.asarray(tables["m_arr"], np.float32).reshape(1, -1)
 
     def _prep(ws):
         return tuple(w.astype(F32) if w.shape[0] == 1 else w.astype(cd)
@@ -413,13 +411,12 @@ def _make_dir_fused(cd, tile, interpret, ide_level, use_srgb):
             grid=grid,
             in_specs=[_row_spec(tile, h.shape[1]),
                       _row_spec(tile, nz.shape[1]), _row_spec(tile, 3),
-                      _full_spec(ide_mat.shape), _full_spec(ide_sigma.shape),
-                      _full_spec(ide_mrow.shape)]
+                      _full_spec(ide_mat.shape), _full_spec(ide_sigma.shape)]
             + [_full_spec(w.shape) for w in wsc],
             out_specs=_row_spec(tile, 6),
             out_shape=jax.ShapeDtypeStruct((h.shape[0], 6), F32),
             interpret=interpret,
-        )(h, nz, d, ide_mat, ide_sigma, ide_mrow, *wsc)
+        )(h, nz, d, ide_mat, ide_sigma, *wsc)
         return out[:n, 0:3], out[:n, 3:6]
 
     @jax.custom_vjp
@@ -447,15 +444,14 @@ def _make_dir_fused(cd, tile, interpret, ide_level, use_srgb):
             in_specs=[_row_spec(tile, h.shape[1]),
                       _row_spec(tile, nz.shape[1]), _row_spec(tile, 3),
                       _row_spec(tile, 6),
-                      _full_spec(ide_mat.shape), _full_spec(ide_sigma.shape),
-                      _full_spec(ide_mrow.shape)]
+                      _full_spec(ide_mat.shape), _full_spec(ide_sigma.shape)]
             + [_full_spec(w.shape) for w in wsc],
             out_specs=(_row_spec(tile, h.shape[1]),)
             + tuple(_full_spec(w.shape) for w in wsc),
             out_shape=(jax.ShapeDtypeStruct(h.shape, F32),)
             + tuple(jax.ShapeDtypeStruct(w.shape, F32) for w in wsc),
             interpret=interpret,
-        )(h, nz, d, gfull, ide_mat, ide_sigma, ide_mrow, *wsc)
+        )(h, nz, d, gfull, ide_mat, ide_sigma, *wsc)
         dheads, dws = outs[0], outs[1:]
         dws = tuple(dg.astype(w.dtype) for dg, w in zip(dws, ws))
         return (dws, dheads[:n].astype(heads.dtype), jnp.zeros_like(noise),
