@@ -215,6 +215,31 @@ class TestDistributedTrainers:
             arr = np.asarray(leaf)
             np.testing.assert_allclose(arr[0], arr[-1], rtol=1e-5)
 
+    def test_ddp_resume_restages_state(self, tiny_dataset, tmp_path,
+                                       monkeypatch):
+        """-l in a mesh mode: the restored host-side checkpoint must be
+        re-staged as global arrays (parallel.restage_state) and training must
+        continue from the saved counters."""
+        monkeypatch.chdir(tmp_path)
+
+        def extra(parser):
+            parser.add_argument("--no_sync_prop", default=False,
+                                action="store_true")
+
+        args = _args(tiny_dataset, tmp_path, extra=["--epochs", "3", "-w"],
+                     entry_extra=extra)
+        t = Trainer(args, mode="ddp")
+        t.train()  # 1 step/epoch on 8 devices; checkpoints at ep 2
+
+        args2 = _args(tiny_dataset, tmp_path,
+                      extra=["--epochs", "4", "-w", "-l"], entry_extra=extra)
+        t2 = Trainer(args2, mode="ddp")
+        # saved after epoch 2 completed (step 3); resume re-runs that epoch,
+        # matching the reference (train.py:128-130)
+        assert t2.epoch_start == 2 and int(t2.state.step) == 3
+        state = t2.train()  # re-runs epoch 2, then epoch 3
+        assert int(state.step) == 5
+
     def test_ma_mode_with_division(self, tiny_dataset, tmp_path, monkeypatch):
         """Full divided-MA pipeline: pose_division tool -> _div.json -> -div
         training on a 4-replica mesh (8 local devices, --num_replicas 4)."""
