@@ -325,7 +325,11 @@ class Trainer:
                 render_depth=self.args.render_depth,
                 render_normal=self.args.render_normal,
                 key=jax.random.fold_in(self.base_key, 10_000 + vid),
-                chunk=self.args.eval_chunk)
+                chunk=self.args.eval_chunk,
+                # distributed modes shard eval ray chunks over the whole
+                # mesh (the reference renders redundantly per rank,
+                # ddp_train.py:264-283)
+                mesh=self.mesh)
             gt = self.test_set.images[vid]
             test_loss += float(np.mean((out["rgb"] - gt) ** 2))
             panels.append(out["rgb"])

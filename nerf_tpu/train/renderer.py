@@ -72,22 +72,102 @@ def _render_image_jit(variables, c2w, key, *, cfg: PipelineConfig, hw, focal,
     return out
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "hw", "focal", "sample_num", "render_depth",
+                     "render_normal", "chunk", "mesh"),
+)
+def _render_image_sharded_jit(variables, c2w, key, *, cfg: PipelineConfig,
+                              hw, focal, sample_num, render_depth,
+                              render_normal, chunk, mesh):
+    """Frame render with the ray-chunk axis sharded over ALL mesh devices.
+
+    Beyond the reference, which renders eval frames redundantly on every
+    rank (ddp_train.py:264-283): here each chip renders 1/n of the chunks
+    and the frame is all-gathered.  Noise is pre-drawn per PIXEL, so the
+    output is bit-identical to the single-device renderer.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from nerf_tpu.core.fastmath import sorted_uniforms
+    from nerf_tpu.train.pipeline import make_models
+
+    models = make_models(cfg)
+    h, w = hw
+    n_dev = mesh.size
+    all_rays = rays_lib.full_image_rays(h, w, c2w, focal)
+    n_pix = h * w
+    pad = (-n_pix) % (chunk * n_dev)  # chunks must split evenly over devices
+    n_padded = n_pix + pad
+    all_rays = jnp.concatenate(
+        [all_rays, jnp.ones((pad, 6), all_rays.dtype)], axis=0)
+    ray_chunks = all_rays.reshape(-1, chunk, 6)
+    k1, k2 = jax.random.split(key)
+    n_strat = cfg.n_coarse + (1 if cfg.model == "mip" else 0)
+    jitter = jax.random.uniform(k1, (n_padded, n_strat)).reshape(
+        -1, chunk, n_strat)
+    u = sorted_uniforms(k2, (n_padded, sample_num + 1)).reshape(
+        -1, chunk, sample_num + 1)
+    normal_cam_dir = c2w[:, 2] if render_normal else None
+
+    def one_chunk(args):
+        rays, jit_c, u_c = args
+        rgb, extras = render_rays_eval(
+            models, variables, rays, None, cfg,
+            sample_num=sample_num,
+            render_depth=render_depth,
+            normal_cam_dir=normal_cam_dir,
+            noise=(jit_c, u_c),
+        )
+        depth = extras.get("depth", jnp.zeros(rays.shape[0]))
+        normal = extras.get("normal", jnp.zeros(rays.shape[0]))
+        return rgb, depth, normal
+
+    def per_device(rc, jc, uc):
+        return jax.lax.map(one_chunk, (rc, jc, uc))
+
+    spec = P(("replica", "data"))
+    rgb, depth, normal = jax.shard_map(
+        per_device, mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=spec,
+        check_vma=False,
+    )(ray_chunks, jitter, u)
+    out = {"rgb": rgb.reshape(-1, 3)[:n_pix].reshape(h, w, 3)}
+    if render_depth:
+        out["depth"] = depth.reshape(-1)[:n_pix].reshape(h, w)
+    if render_normal:
+        out["normal"] = normal.reshape(-1)[:n_pix].reshape(h, w)
+    return out
+
+
 def render_image(variables, c2w, hw, focal, cfg: PipelineConfig,
                  sample_num: Optional[int] = None, render_depth: bool = False,
                  render_normal: bool = False, key=None,
-                 chunk: int = 4096) -> Dict[str, np.ndarray]:
+                 chunk: int = 4096, mesh=None) -> Dict[str, np.ndarray]:
     """Render a full frame; returns numpy images in [0, 1].
 
     render_normal is only honored for the ref model (procedures.py:40 parity).
+    With ``mesh`` given, ray chunks are sharded over every mesh device
+    (bit-identical output; ~n_devices times faster full-frame eval).
     """
     sample_num = cfg.n_fine if sample_num is None else sample_num
     render_normal = render_normal and cfg.model == "ref"
     key = jax.random.PRNGKey(0) if key is None else key
     c2w = jnp.asarray(np.asarray(c2w, np.float32)[:3, :])
-    out = _render_image_jit(
-        variables, c2w, key, cfg=cfg, hw=(int(hw[0]), int(hw[1])),
+    kwargs = dict(
+        cfg=cfg, hw=(int(hw[0]), int(hw[1])),
         focal=(float(focal[0]), float(focal[1])), sample_num=int(sample_num),
         render_depth=bool(render_depth), render_normal=bool(render_normal),
         chunk=int(chunk),
     )
+    if mesh is None:
+        out = _render_image_jit(variables, c2w, key, **kwargs)
+    else:
+        out = _render_image_sharded_jit(variables, c2w, key, mesh=mesh,
+                                        **kwargs)
+        if jax.process_count() > 1:
+            from nerf_tpu.parallel.mesh import replicate_tree
+
+            out = replicate_tree(out, mesh)
     return {k: np.asarray(v) for k, v in out.items()}

@@ -45,3 +45,26 @@ def test_render_normal_ignored_for_vanilla():
     out = render_image(params, pose, (16, 16), focal, cfg, chunk=64,
                        render_normal=True)
     assert "normal" not in out  # procedures.py:40 parity
+
+
+def test_sharded_render_matches_single_device():
+    """mesh-sharded full-frame render == single-device render, bit-identical
+    (noise is pre-drawn per pixel, so device partitioning cannot change it)."""
+    import jax
+
+    from nerf_tpu.parallel import make_mesh
+
+    cfg = PipelineConfig(model="vanilla", ray_batch=64, n_coarse=8, n_fine=16,
+                         nerf_width=16, prop_width=16)
+    params = init_variables(cfg, jax.random.PRNGKey(0))
+    mesh = make_mesh(n_data=4, n_replica=2)
+    key = jax.random.PRNGKey(3)
+    pose = np.eye(4, dtype=np.float32)[:3]
+    pose[2, 3] = 4.0
+    single = render_image(params, pose, (20, 24), (20.0, 20.0), cfg,
+                          sample_num=16, render_depth=True, key=key, chunk=64)
+    sharded = render_image(params, pose, (20, 24), (20.0, 20.0), cfg,
+                           sample_num=16, render_depth=True, key=key,
+                           chunk=64, mesh=mesh)
+    np.testing.assert_array_equal(sharded["rgb"], single["rgb"])
+    np.testing.assert_array_equal(sharded["depth"], single["depth"])
