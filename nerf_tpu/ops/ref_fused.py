@@ -6,16 +6,19 @@ every layer streams a (196k, 256) activation through HBM.  A first attempt
 that fused ONLY the two MLPs made things worse (29.6k vs 38.3k rays/s):
 the IDE/reflection glue that XLA normally fuses INTO the matmul fusions
 cannot fuse into opaque custom-calls, so it ran as ~16 ms of standalone
-elementwise ops.  The lesson: the kernel must subsume the whole fine
-forward.  This module fuses, per tile of points, in one VMEM residency:
+elementwise ops.  The lesson: the kernels must subsume the whole fine
+forward.  This module fuses it as TWO kernels split at the tiny (T, 139)
+heads boundary (a single whole-network backward kernel measured 34 MB of
+scoped VMEM against the 16 MB limit):
 
-    enc -> spatial trunk -> heads -> normalize/negate normal ->
-    reflection -> IDE (z-Vandermonde + complex-power recurrence) ->
-    directional trunk -> specular*sigmoid(tint) + diffuse [-> sRGB]
-
-plus, in the same forward kernel, the density-gradient backward d(sigma)/
-d(enc) for the normal targets (detached constants — torch
-create_graph=False parity, reference train.py:168).
+    spatial:      enc -> trunk -> packed heads, plus the density-gradient
+                  backward d(sigma)/d(enc) IN the forward kernel (the
+                  normal targets are detached constants — torch
+                  create_graph=False parity, reference train.py:168)
+    directional:  heads -> normalize/negate normal -> reflection -> IDE
+                  (wide z-Vandermonde + complex-power recurrence) ->
+                  directional trunk -> specular*sigmoid(tint) + diffuse
+                  [-> sRGB]; its VJP emits d(heads)
 
 Backward: a second kernel retraces the tile forward and applies **jax.vjp
 inside the kernel body** — JAX derives the full backward jaxpr (through the
