@@ -159,7 +159,11 @@ class Trainer:
                     f"{self.n_replica} replicas")
             w = (np.asarray(w, np.float32) if w is not None
                  else np.full(self.n_replica, 1.0 / self.n_replica, np.float32))
-            self.ma_weights = jnp.asarray(w / w.sum())
+            # global replicated array: the averaging jit runs over the full
+            # mesh, which spans processes in multi-process runs
+            from nerf_tpu.parallel import host_to_global
+
+            self.ma_weights = host_to_global(w / w.sum(), self.mesh)
             from nerf_tpu.parallel import make_average_fn
 
             self.average_fn = make_average_fn(
@@ -465,6 +469,15 @@ class Trainer:
             dt = self.train_timer.toc()
 
             if self._stop_signal is not None:
+                if jax.process_count() > 1 and self.n_replica > 1:
+                    # the cooperative checkpoint the signal handler deferred:
+                    # the replica gather is a collective, so every process
+                    # reaches this point (they all received the signal)
+                    state_s = self._saveable_state()
+                    if self.is_main:
+                        step = int(self.state.step)
+                        path = self.ckpt.save(state_s, step=step, epoch=ep)
+                        print(f"cooperative checkpoint at step {step} -> {path}")
                 raise SystemExit(128 + self._stop_signal)
 
             self._log_epoch_metrics(metrics, steps, step_base)
