@@ -513,12 +513,15 @@ class Trainer:
         for sig, handler in old_handlers.items():
             signal.signal(sig, handler)
 
-        # final save under ./model/<name>.ckpt (train.py:261-268 parity)
+        # final save under ./model/<name>.ckpt (train.py:261-268 parity);
+        # the gather is collective (all processes), the write rank-0-only
         from nerf_tpu.utils import save_checkpoint
 
+        state_s = self._saveable_state()
         final = os.path.join("model", f"{args.name}.ckpt")
-        save_checkpoint(final, self.state, step=int(self.state.step),
-                        epoch=args.epochs)
+        if self.is_main:
+            save_checkpoint(final, state_s, step=int(self.state.step),
+                            epoch=args.epochs)
+            print(f"Training completed. Final model -> {final}")
         self.writer.close()
-        print(f"Training completed. Final model -> {final}")
         return self.state

@@ -69,3 +69,39 @@ def run_program():
         "psnr": float(np.asarray(jax.device_get(metrics["psnr"]))),
         "checksums": [float(np.abs(l).sum()) for l in leaves],
     }
+
+
+def run_ma_trainer(dataset_root: str, workdir: str):
+    """Full MA Trainer run (2 epochs, averaging each epoch) on the global
+    mesh; returns final-param checksums.  Exercises the whole multi-process
+    trainer path: global-array staging, the sharded epoch scan, weighted
+    averaging, rank-0-gated checkpoints/logs/renders."""
+    import os
+
+    from nerf_tpu.cli import Trainer, get_parser
+
+    os.chdir(workdir)
+    parser = get_parser()
+    parser.add_argument("--ma_epoch", type=int, default=1)
+    parser.add_argument("--ma_method", type=str, default="all_reduce")
+    parser.add_argument("-div", "--div", default=False, action="store_true")
+    parser.add_argument("--allow_imbalanced", default=False,
+                        action="store_true")
+    parser.add_argument("--num_replicas", type=int, default=None)
+    args = parser.parse_args([
+        "--dataset_root", dataset_root, "--dataset_name", "lego",
+        "--epochs", "2", "--sample_ray_num", "16",
+        "--coarse_sample_pnum", "8", "--fine_sample_pnum", "8",
+        "--nerf_net_width", "16", "--prop_net_width", "16",
+        "--img_scale", "1.0", "--output_time", "1000", "--eval_time", "10",
+        "--no_tensorboard", "-w", "--num_replicas", "2",
+    ])
+    t = Trainer(args, mode="ma")
+    assert t.n_replica == 2 and t.n_data == 4  # 2x4 over the 8 global devices
+    state = t.train()
+    from nerf_tpu.parallel import tree_to_host
+
+    host = tree_to_host(state.params, t.mesh)
+    leaves = jax.tree_util.tree_leaves(host)
+    return {"checksums": [float(np.abs(l).sum()) for l in leaves],
+            "step": int(state.step)}

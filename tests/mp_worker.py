@@ -32,13 +32,16 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np  # noqa: E402
 
-from tests.mp_program import run_program  # noqa: E402
+from tests.mp_program import run_ma_trainer, run_program  # noqa: E402
 
 
 def main():
     assert len(jax.devices()) == 8, "expected 8 global devices"
     assert len(jax.local_devices()) == 4, "expected 4 local devices"
-    result = run_program()
+    if len(sys.argv) > 3 and sys.argv[3] == "trainer":
+        result = run_ma_trainer(sys.argv[4], sys.argv[5])
+    else:
+        result = run_program()
     print("RESULT " + json.dumps(result), flush=True)
 
 

@@ -34,6 +34,63 @@ def _parse_result(stdout: str):
 
 
 @pytest.mark.slow
+def test_two_process_ma_trainer_matches_single_process(tmp_path_factory):
+    """The FULL MA Trainer across 2 processes — staging, sharded epoch scan,
+    weighted averaging, rank-0 checkpointing — must produce the same final
+    params as the identical single-process run."""
+    from nerf_tpu.data.synthetic import make_synthetic_scene, write_blender_dataset
+
+    data_root = tmp_path_factory.mktemp("mp_data")
+    train, test, (tr_p, te_p) = make_synthetic_scene(
+        n_train=8, n_test=2, hw=(16, 16), seed=0, n_samples=24)
+    write_blender_dataset(str(data_root / "lego"), train, tr_p, "train")
+    write_blender_dataset(str(data_root / "lego"), test, te_p, "test")
+    wd = {pid: tmp_path_factory.mktemp(f"mp_wd{pid}") for pid in (0, 1, 2)}
+
+    port = _free_port()
+    worker = os.path.join(os.path.dirname(__file__), "mp_worker.py")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(port), str(pid), "trainer",
+             str(data_root), str(wd[pid])],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env)
+        for pid in (0, 1)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
+    results = [_parse_result(o) for o in outs]
+    assert results[0] == results[1]
+    assert results[0]["step"] == 2  # 2 epochs x (4 imgs / 4 data-devs) steps
+
+    # rank 0 (and only rank 0) wrote the final checkpoint + logs
+    assert os.path.exists(wd[0] / "model" / "model_1.ckpt")
+    assert not os.path.exists(wd[1] / "model")
+
+    # single-process oracle, same args on this process's 8 local devices
+    cwd = os.getcwd()
+    try:
+        from tests.mp_program import run_ma_trainer
+
+        oracle = run_ma_trainer(str(data_root), str(wd[2]))
+    finally:
+        os.chdir(cwd)
+    np.testing.assert_allclose(results[0]["checksums"], oracle["checksums"],
+                               rtol=1e-5)
+
+
+@pytest.mark.slow
 def test_two_process_dp_step_and_ma_average_match_single_process():
     port = _free_port()
     worker = os.path.join(os.path.dirname(__file__), "mp_worker.py")
