@@ -71,6 +71,35 @@ def run_program():
     }
 
 
+def run_ddp_trainer(dataset_root: str, workdir: str):
+    """Full DDP Trainer run across the global mesh (grad pmean over 'data');
+    returns final-param checksums."""
+    import os
+
+    from nerf_tpu.cli import Trainer, get_parser
+
+    os.chdir(workdir)
+    parser = get_parser()
+    parser.add_argument("--no_sync_prop", default=False, action="store_true")
+    args = parser.parse_args([
+        "--dataset_root", dataset_root, "--dataset_name", "lego",
+        "--epochs", "2", "--sample_ray_num", "16",
+        "--coarse_sample_pnum", "8", "--fine_sample_pnum", "8",
+        "--nerf_net_width", "16", "--prop_net_width", "16",
+        "--img_scale", "1.0", "--output_time", "1000", "--eval_time", "10",
+        "--no_tensorboard", "-w",
+    ])
+    t = Trainer(args, mode="ddp")
+    assert t.n_data == 8
+    state = t.train()
+    from nerf_tpu.parallel import tree_to_host
+
+    host = tree_to_host(state.params, t.mesh)
+    leaves = jax.tree_util.tree_leaves(host)
+    return {"checksums": [float(np.abs(l).sum()) for l in leaves],
+            "step": int(state.step)}
+
+
 def run_ma_trainer(dataset_root: str, workdir: str):
     """Full MA Trainer run (2 epochs, averaging each epoch) on the global
     mesh; returns final-param checksums.  Exercises the whole multi-process

@@ -32,7 +32,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np  # noqa: E402
 
-from tests.mp_program import run_ma_trainer, run_program  # noqa: E402
+from tests.mp_program import (  # noqa: E402
+    run_ddp_trainer, run_ma_trainer, run_program,
+)
 
 
 def main():
@@ -40,6 +42,8 @@ def main():
     assert len(jax.local_devices()) == 4, "expected 4 local devices"
     if len(sys.argv) > 3 and sys.argv[3] == "trainer":
         result = run_ma_trainer(sys.argv[4], sys.argv[5])
+    elif len(sys.argv) > 3 and sys.argv[3] == "trainer_ddp":
+        result = run_ddp_trainer(sys.argv[4], sys.argv[5])
     else:
         result = run_program()
     print("RESULT " + json.dumps(result), flush=True)

@@ -34,10 +34,13 @@ def _parse_result(stdout: str):
 
 
 @pytest.mark.slow
-def test_two_process_ma_trainer_matches_single_process(tmp_path_factory):
-    """The FULL MA Trainer across 2 processes — staging, sharded epoch scan,
-    weighted averaging, rank-0 checkpointing — must produce the same final
-    params as the identical single-process run."""
+@pytest.mark.parametrize("mode,expect_step", [("trainer", 2),
+                                              ("trainer_ddp", 2)])
+def test_two_process_trainer_matches_single_process(tmp_path_factory, mode,
+                                                    expect_step):
+    """The FULL Trainer (MA and DDP modes) across 2 processes — staging,
+    sharded epoch scan, collectives, rank-0 checkpointing — must produce the
+    same final params as the identical single-process run."""
     from nerf_tpu.data.synthetic import make_synthetic_scene, write_blender_dataset
 
     data_root = tmp_path_factory.mktemp("mp_data")
@@ -53,7 +56,7 @@ def test_two_process_ma_trainer_matches_single_process(tmp_path_factory):
            if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, str(port), str(pid), "trainer",
+            [sys.executable, worker, str(port), str(pid), mode,
              str(data_root), str(wd[pid])],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             env=env)
@@ -72,7 +75,7 @@ def test_two_process_ma_trainer_matches_single_process(tmp_path_factory):
         assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
     results = [_parse_result(o) for o in outs]
     assert results[0] == results[1]
-    assert results[0]["step"] == 2  # 2 epochs x (4 imgs / 4 data-devs) steps
+    assert results[0]["step"] == expect_step
 
     # rank 0 (and only rank 0) wrote the final checkpoint + logs
     assert os.path.exists(wd[0] / "model" / "model_1.ckpt")
@@ -81,9 +84,10 @@ def test_two_process_ma_trainer_matches_single_process(tmp_path_factory):
     # single-process oracle, same args on this process's 8 local devices
     cwd = os.getcwd()
     try:
-        from tests.mp_program import run_ma_trainer
+        from tests.mp_program import run_ddp_trainer, run_ma_trainer
 
-        oracle = run_ma_trainer(str(data_root), str(wd[2]))
+        runner = run_ma_trainer if mode == "trainer" else run_ddp_trainer
+        oracle = runner(str(data_root), str(wd[2]))
     finally:
         os.chdir(cwd)
     np.testing.assert_allclose(results[0]["checksums"], oracle["checksums"],
