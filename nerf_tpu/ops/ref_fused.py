@@ -111,62 +111,94 @@ def _spa_pure(ws, enc, cd):
     return rho_tau, nct, bn
 
 
+def _atan2_poly(y, x):
+    """atan2 via a Cephes-style polynomial (Mosaic has no atan/atan2
+    lowering).  Max error ~1e-6 rad over the plane; grad-safe at the origin
+    (padded tile rows are exactly zero: every divisor is clamped, and the
+    clamps' zero gradient keeps zero cotangents zero).
+
+    Octant reduction: t = min/max in [0, 1]; t > tan(pi/8) further reduced
+    by t -> (t - 1)/(t + 1) (angle - pi/4), keeping |u| <= tan(pi/8) where
+    the degree-9 odd minimax polynomial is ~1e-7 accurate.
+
+    tiny = 1e-12, NOT smaller: the division VJP computes 1/clamp^2, and
+    1/(1e-30)^2 overflows fp32 to inf -> inf * 0-cotangent = NaN.
+    """
+    tiny = 1e-12
+    ax, ay = jnp.abs(x), jnp.abs(y)
+    mx = jnp.maximum(ax, ay)
+    mn = jnp.minimum(ax, ay)
+    t = mn / jnp.maximum(mx, tiny)  # [0, 1]
+
+    tan_pi8 = 0.4142135623730951  # tan(pi/8)
+    hi = t > tan_pi8
+    u = jnp.where(hi, (t - 1.0) / (t + 1.0), t)  # |u| <= tan(pi/8)
+    s = u * u
+    # Cephes atanf minimax (|u| <= tan(pi/8)): ~1e-7
+    p = ((8.05374449538e-2 * s - 1.38776856032e-1) * s
+         + 1.99777106478e-1) * s - 3.33329491539e-1
+    a = u + u * s * p
+    a = jnp.where(hi, a + 0.7853981633974483, a)  # + pi/4
+
+    half_pi = 1.5707963267948966
+    a = jnp.where(ay > ax, half_pi - a, a)   # reflect across pi/4
+    a = jnp.where(x < 0.0, np.pi - a, a)     # quadrant II/III
+    return jnp.where(y < 0.0, -a, a)         # lower half-plane
+
+
 def _ide_pure(xyz, kappa_inv, mat, sigma, l_max):
-    """integrated_dir_enc (core/encoding.py:190-230) with the static channel
-    gather re_pows[..., m_arr] rewritten as column-slice concats (Mosaic has
-    no in-kernel gather).
+    """integrated_dir_enc (core/encoding.py:190-230), fully WIDE.
 
-    The wide z-Vandermonde uses exp(i * log|z|) * sign(z)^i on a (T, 9)
-    tensor (grad-safe clamps: padded tile rows are exactly zero and the
-    clamp's zero gradient keeps zero cotangents zero).  The complex powers
-    (x+iy)^m stay as the sequential real-pair recurrence: the wide polar
-    form r^m e^{i m theta} needs atan2, which Mosaic has NO lowering for
-    (NotImplementedError on TPU; a polynomial atan could replace it if this
-    kernel ever needs the last ~2x of glue throughput).  These narrow
-    (T, 1) recurrence ops are the measured reason the directional kernel
-    runs at ~17% MFU — see BENCHMARKS.md round-2 notes.
+    The round-2 trace showed this kernel at ~17% MFU: the sequential
+    complex-power recurrence was ~50 narrow (T, 1) VPU ops.  Everything
+    here is (T, 9)/(T, C)-wide:
 
-    ``mat`` (l_max+1, C) and ``sigma`` (1, C) are kernel INPUTS (Pallas
-    rejects captured array constants); ``l_max`` is static.
+      z^i       = exp(i log|z|) * sign(z)^i             (z-Vandermonde)
+      (x+iy)^m  = r^m e^{i m theta}:  re = exp(m log r) cos(m theta),
+                  theta from the polynomial _atan2_poly (Mosaic lowers
+                  neither atan nor atan2)
+
+    Grad-safe at exactly-zero padded tile rows: every log/division operand
+    is clamped with jnp.maximum, whose zero gradient at the clamped point
+    keeps zero cotangents zero.  m_row is built from per-level in-kernel
+    iotas (Pallas rejects captured array constants; the channel order is
+    [m for each level l in 1,2,4,..: m = 0..l]).
+
+    ``mat`` (l_max+1, C) and ``sigma`` (1, C) are kernel INPUTS; ``l_max``
+    is static.
     """
     tiny = 1e-20
     x, y, z = xyz[:, 0:1], xyz[:, 1:2], xyz[:, 2:3]
 
-    # z-Vandermonde, wide: (T, l_max+1); iota built in-kernel (Mosaic's
-    # tpu.iota is integer-only — build i32 and convert)
-    i_row = jax.lax.broadcasted_iota(
-        jnp.int32, (1, l_max + 1), 1).astype(F32)
+    def iota_row(n):
+        return jax.lax.broadcasted_iota(jnp.int32, (1, n), 1).astype(F32)
+
+    # z-Vandermonde, wide: (T, l_max+1)
+    i_row = iota_row(l_max + 1)
     logz = jnp.log(jnp.maximum(jnp.abs(z), tiny))
     odd = i_row - 2.0 * jnp.floor(i_row * 0.5)  # sign(z)^i: odd-i mask
     sgn = jnp.where(z < 0, -1.0, 1.0)
     vz = jnp.exp(i_row * logz) * (1.0 - odd + odd * sgn)
     vz_mat = jnp.dot(vz, mat, preferred_element_type=F32)
 
-    # (x+iy)^m: real-pair power recurrence (product form; no integer_pow —
-    # its gradient is NaN at exactly-zero padded rows)
-    re_p, im_p = [jnp.ones_like(x)], [jnp.zeros_like(x)]
-    for _ in range(l_max):
-        re, im = re_p[-1], im_p[-1]
-        re_p.append(re * x - im * y)
-        im_p.append(re * y + im * x)
-    m_arr = _M_ARR_BY_LMAX[l_max]
-    re_xy = jnp.concatenate([re_p[m] for m in m_arr], axis=-1)
-    im_xy = jnp.concatenate([im_p[m] for m in m_arr], axis=-1)
+    # channel orders m: per-level iota blocks, concatenated once -> (1, C)
+    blocks, l = [], 1
+    while l <= l_max:
+        blocks.append(iota_row(l + 1))
+        l *= 2
+    m_row = jnp.concatenate(blocks, axis=-1)
+
+    # (x+iy)^m in polar form, wide: (T, C)
+    r2 = x * x + y * y
+    logr = 0.5 * jnp.log(jnp.maximum(r2, tiny))
+    theta = _atan2_poly(y, x)
+    r_m = jnp.exp(m_row * logr)
+    re_xy = r_m * jnp.cos(m_row * theta)
+    im_xy = r_m * jnp.sin(m_row * theta)
 
     atten = jnp.exp(-sigma * kappa_inv)
     return jnp.concatenate([re_xy * vz_mat * atten,
                             im_xy * vz_mat * atten], axis=-1)
-
-
-# static channel orders per l_max (deg_view 1..5): [m for l in 2^i for m<=l]
-_M_ARR_BY_LMAX = {
-    1: [0, 1],
-    2: [0, 1, 0, 1, 2],
-    4: [0, 1, 0, 1, 2, 0, 1, 2, 3, 4],
-    8: [0, 1, 0, 1, 2, 0, 1, 2, 3, 4, 0, 1, 2, 3, 4, 5, 6, 7, 8],
-    16: [0, 1, 0, 1, 2, 0, 1, 2, 3, 4, 0, 1, 2, 3, 4, 5, 6, 7, 8]
-        + list(range(17)),
-}
 
 
 def _srgb_pure(linear):

@@ -172,3 +172,31 @@ def test_ref_train_pipeline_fused_matches_xla():
     flat_f, _ = jax.flatten_util.ravel_pytree(gf)
     np.testing.assert_allclose(np.asarray(flat_f), np.asarray(flat_x),
                                rtol=5e-3, atol=3e-4)
+
+
+def test_atan2_poly_accuracy_and_grad_safety():
+    """_atan2_poly vs numpy across all quadrants/axes; finite grads at the
+    origin (padded rows are exactly (0, 0))."""
+    from nerf_tpu.ops.ref_fused import _atan2_poly
+
+    rng = np.random.default_rng(0)
+    y = jnp.asarray(rng.normal(0, 2, (5000, 1)).astype(np.float32))
+    x = jnp.asarray(rng.normal(0, 2, (5000, 1)).astype(np.float32))
+    got = np.asarray(_atan2_poly(y, x))
+    want = np.arctan2(np.asarray(y), np.asarray(x))
+    np.testing.assert_allclose(got, want, atol=2e-6)
+
+    # axes and origin
+    pts = jnp.asarray([[0.0, 1.0], [0.0, -1.0], [1.0, 0.0], [-1.0, 0.0],
+                       [0.0, 0.0]], jnp.float32)
+    got = np.asarray(_atan2_poly(pts[:, 0:1], pts[:, 1:2]))[:, 0]
+    want = np.arctan2(np.asarray(pts[:, 0]), np.asarray(pts[:, 1]))
+    np.testing.assert_allclose(got[:4], want[:4], atol=2e-6)
+    assert np.isfinite(got[4])
+
+    # zero cotangent at the origin stays zero (no NaN/Inf leaks)
+    def f(v):
+        return jnp.sum(_atan2_poly(v[:, 0:1], v[:, 1:2]) * jnp.zeros((1, 1)))
+
+    g = np.asarray(jax.grad(f)(jnp.zeros((3, 2), jnp.float32)))
+    assert np.all(g == 0.0)
