@@ -89,7 +89,7 @@ def test_sigterm_checkpoints_and_resumes(tmp_path):
     env = dict(os.environ, JAX_PLATFORMS="cpu",
                PYTHONPATH=repo + os.pathsep + os.environ.get("PYTHONPATH", ""))
     r = subprocess.run([sys.executable, "-c", script], cwd=tmp_path,
-                       capture_output=True, text=True, timeout=600, env=env)
+                       capture_output=True, text=True, timeout=1800, env=env)
     assert r.returncode == 128 + signal.SIGTERM, r.stderr[-2000:]
     assert "checkpointed step" in r.stdout
 
