@@ -76,3 +76,29 @@ class TestNativeDecode:
                                   white_bkg=True, use_native=False)
         np.testing.assert_allclose(nat.images, ref.images, atol=1e-6)
         np.testing.assert_allclose(nat.poses, ref.poses)
+
+
+def test_native_corrupt_png_falls_back(tmp_path):
+    """A corrupt PNG must make the native decoder return None (the loader
+    then falls back to the PIL oracle) — exercising the libpng longjmp error
+    path whose row buffers are allocated before setjmp (dataio.cpp)."""
+    from nerf_tpu import native
+
+    if not native.available():
+        pytest.skip("native loader unavailable")
+    from PIL import Image
+
+    good = tmp_path / "good.png"
+    Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(good)
+    corrupt = tmp_path / "corrupt.png"
+    data = good.read_bytes()
+    corrupt.write_bytes(data[: len(data) // 2])  # truncated mid-stream
+
+    assert native.decode_images([str(good)]) is not None
+    assert native.decode_images([str(good), str(corrupt)]) is None
+    assert native.decode_images([str(corrupt)]) is None
+    # not-a-png at all
+    bad = tmp_path / "bad.png"
+    bad.write_bytes(b"not a png")
+    assert native.decode_images([str(bad)]) is None
+
