@@ -38,6 +38,7 @@ SLOW_MODULES = {
     "tests.test_parallel",
     "tests.test_parallel_convergence",
     "tests.test_pipeline_pallas",
+    "tests.test_properties",
     "tests.test_ref_fused",
     "tests.test_renderer",
     "tests.test_resume_determinism",
