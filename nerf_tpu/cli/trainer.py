@@ -284,12 +284,37 @@ class Trainer:
                 self.state.params)
             try:
                 self._flops_per_step = train_step_flops(self.cfg, shapes)
-            except Exception:
+            except (KeyError, TypeError) as e:
+                # a params-tree/key mismatch means the FLOPs model is broken;
+                # say so once instead of silently reporting MFU 0.0%
+                print(f"warning: FLOPs model failed ({type(e).__name__}: {e});"
+                      f" MFU will report 0.0%")
                 self._flops_per_step = 0.0
         from nerf_tpu.utils.flops import V5E_BF16_PEAK
 
         steps_s = rays_per_sec_per_chip / self.cfg.ray_batch
         return steps_s * self._flops_per_step / V5E_BF16_PEAK
+
+    def _sync_stop(self) -> bool:
+        """Any-process stop decision for the epoch loop.
+
+        A SIGTERM delivered to only ONE rank must stop ALL ranks on the same
+        epoch: otherwise the signaled rank enters the collective checkpoint
+        gather (_saveable_state) while its peers proceed into the next
+        epoch's train-step collectives — mismatched collectives deadlock the
+        job.  One tiny host allgather per epoch buys the guarantee.
+        """
+        local = self._stop_signal is not None
+        if jax.process_count() == 1:
+            return local
+        from jax.experimental import multihost_utils
+
+        flags = multihost_utils.process_allgather(np.int32(local))
+        if int(flags.max()) and self._stop_signal is None:
+            import signal
+
+            self._stop_signal = signal.SIGTERM  # a peer was signaled
+        return bool(flags.max())
 
     def eval_params(self):
         if self.mode == "single":
@@ -468,11 +493,12 @@ class Trainer:
             jax.block_until_ready(self.state.params)
             dt = self.train_timer.toc()
 
-            if self._stop_signal is not None:
+            if self._sync_stop():
                 if jax.process_count() > 1 and self.n_replica > 1:
                     # the cooperative checkpoint the signal handler deferred:
-                    # the replica gather is a collective, so every process
-                    # reaches this point (they all received the signal)
+                    # _sync_stop just guaranteed every process reaches this
+                    # point on the same epoch, so the replica gather below is
+                    # a matched collective even if only one rank was signaled
                     state_s = self._saveable_state()
                     if self.is_main:
                         step = int(self.state.step)

@@ -22,6 +22,16 @@ from nerf_tpu.train.config import PipelineConfig
 from nerf_tpu.train.pipeline import render_rays_eval
 
 
+def _pad_noise(jitter, u, pad: int, chunk: int):
+    """Pad per-pixel noise rows to the chunked length and reshape to chunks."""
+    jitter = jnp.concatenate(
+        [jitter, jnp.full((pad, jitter.shape[1]), 0.5, jitter.dtype)], axis=0)
+    u = jnp.concatenate(
+        [u, jnp.full((pad, u.shape[1]), 0.5, u.dtype)], axis=0)
+    return (jitter.reshape(-1, chunk, jitter.shape[1]),
+            u.reshape(-1, chunk, u.shape[1]))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "hw", "focal", "sample_num", "render_depth",
@@ -46,8 +56,16 @@ def _render_image_jit(variables, c2w, key, *, cfg: PipelineConfig, hw, focal,
 
     k1, k2 = jax.random.split(key)
     n_strat = cfg.n_coarse + (1 if cfg.model == "mip" else 0)
-    jitter = jax.random.uniform(k1, (n_padded, n_strat)).reshape(-1, chunk, n_strat)
-    u = sorted_uniforms(k2, (n_padded, sample_num + 1)).reshape(-1, chunk, sample_num + 1)
+    # draw noise at the UNPADDED pixel count and pad afterwards: the padding
+    # differs between this renderer and the sharded one ((-n)%chunk vs
+    # (-n)%(chunk*n_dev)), and drawing at the padded shape would make their
+    # bit-identical-output guarantee depend on the RNG implementation being
+    # prefix-invariant (jax_threefry_partitionable) rather than hold by
+    # construction.  Padded rows get constant 0.5 (valid sorted row); their
+    # outputs are sliced away.
+    jitter, u = _pad_noise(
+        jax.random.uniform(k1, (n_pix, n_strat)),
+        sorted_uniforms(k2, (n_pix, sample_num + 1)), pad, chunk)
     normal_cam_dir = c2w[:, 2] if render_normal else None
 
     def one_chunk(args):
@@ -84,8 +102,11 @@ def _render_image_sharded_jit(variables, c2w, key, *, cfg: PipelineConfig,
 
     Beyond the reference, which renders eval frames redundantly on every
     rank (ddp_train.py:264-283): here each chip renders 1/n of the chunks
-    and the frame is all-gathered.  Noise is pre-drawn per PIXEL, so the
-    output is bit-identical to the single-device renderer.
+    and the frame is all-gathered.  Noise is pre-drawn per PIXEL at the
+    unpadded count, so the draws match the single-device renderer exactly;
+    output is bit-identical when both paths pad to the same chunk grid and
+    within a float ulp otherwise (different grid shapes compile to
+    differently-fused programs; measured max 3e-8, test_renderer.py).
     """
     from jax.sharding import PartitionSpec as P
 
@@ -104,10 +125,11 @@ def _render_image_sharded_jit(variables, c2w, key, *, cfg: PipelineConfig,
     ray_chunks = all_rays.reshape(-1, chunk, 6)
     k1, k2 = jax.random.split(key)
     n_strat = cfg.n_coarse + (1 if cfg.model == "mip" else 0)
-    jitter = jax.random.uniform(k1, (n_padded, n_strat)).reshape(
-        -1, chunk, n_strat)
-    u = sorted_uniforms(k2, (n_padded, sample_num + 1)).reshape(
-        -1, chunk, sample_num + 1)
+    # same unpadded-draw-then-pad as the single-device renderer: identical
+    # draws for any device count, so bit-identical output by construction
+    jitter, u = _pad_noise(
+        jax.random.uniform(k1, (n_pix, n_strat)),
+        sorted_uniforms(k2, (n_pix, sample_num + 1)), pad, chunk)
     normal_cam_dir = c2w[:, 2] if render_normal else None
 
     def one_chunk(args):

@@ -68,3 +68,28 @@ def test_sharded_render_matches_single_device():
                            chunk=64, mesh=mesh)
     np.testing.assert_array_equal(sharded["rgb"], single["rgb"])
     np.testing.assert_array_equal(sharded["depth"], single["depth"])
+
+
+def test_sharded_render_matches_single_device_divergent_padding():
+    """20x20 with chunk=64 on 8 devices: single pads 400 -> 448 while sharded
+    pads 400 -> 512.  Noise is drawn at the UNPADDED pixel count and padded
+    after (renderer.py:_pad_noise), so the draws are identical by
+    construction — not via jax_threefry_partitionable prefix-invariance
+    (advisor r2 #1).  The residual tolerance is compilation-level: the
+    7-chunk and 8-chunk programs fuse/reassociate a float op differently
+    (measured max 3e-8); bit-identicality holds when the chunk grids match
+    (test above)."""
+    from nerf_tpu.parallel import make_mesh
+
+    cfg = PipelineConfig(model="vanilla", ray_batch=64, n_coarse=8, n_fine=16,
+                         nerf_width=16, prop_width=16)
+    params = init_variables(cfg, jax.random.PRNGKey(0))
+    mesh = make_mesh(n_data=8, n_replica=1)
+    key = jax.random.PRNGKey(7)
+    pose = np.eye(4, dtype=np.float32)[:3]
+    pose[2, 3] = 4.0
+    single = render_image(params, pose, (20, 20), (20.0, 20.0), cfg,
+                          sample_num=16, key=key, chunk=64)
+    sharded = render_image(params, pose, (20, 20), (20.0, 20.0), cfg,
+                           sample_num=16, key=key, chunk=64, mesh=mesh)
+    np.testing.assert_allclose(sharded["rgb"], single["rgb"], atol=1e-6)
