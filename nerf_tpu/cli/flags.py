@@ -92,6 +92,12 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--no_pallas", dest="pallas", action="store_false",
                    help="force the XLA/flax oracle path instead of the fused "
                         "Pallas kernels")
+    p.add_argument("--ref_kernels", type=str, default="all",
+                   choices=["hybrid", "all"],
+                   help="Ref-NeRF kernel strategy when the Pallas path is "
+                        "active: 'all' = whole fine forward in two fused "
+                        "kernels (row-land glue, ops/ref_fused.py); 'hybrid' "
+                        "= Pallas spatial + XLA directional")
     p.add_argument("--trace", type=str, default=None, metavar="DIR",
                    help="capture a jax.profiler trace of one epoch into DIR "
                         "(view with tensorboard or xprof)")
@@ -146,6 +152,7 @@ def config_from_args(args) -> PipelineConfig:
         use_pallas=getattr(args, "pallas", None),
         use_ipe=getattr(args, "use_ipe", False) or mip,
         second_order_normals=getattr(args, "second_order_normals", False),
+        ref_kernels=getattr(args, "ref_kernels", "all"),
         distortion_w=getattr(args, "distortion_weight", 0.0),
         entropy_w=getattr(args, "entropy_weight", 0.0),
         entropy_acc_threshold=getattr(args, "entropy_threshold", 0.1),

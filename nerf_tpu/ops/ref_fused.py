@@ -265,23 +265,149 @@ def _dir_glue_pure(ws_dir, heads, noise, dirs, mat, sigma, cd,
     return rgb, normal
 
 
+def _ide_pure_rowland(xyzT, kappa_invT, mat, sigma_col, l_max):
+    """integrated_dir_enc in ROW-LAND: points along LANES, channels along
+    sublanes — returns (2C, T).
+
+    Why: in T-major layout every per-point scalar op ((T,1) logs, the atan2
+    polynomial, norms) occupies 1 of 128 lanes — T/8 VPU instructions for T
+    useful scalars.  Row-land (1,T) puts the T points across lanes: ~16x
+    fewer instructions for the same math.  The round-3 trace showed the
+    directional kernels at ~26% efficiency with these chains dominating.
+
+    xyzT: (3, T) reflect directions; kappa_invT: (1, T) roughness;
+    mat: (l_max+1, C) z-Vandermonde coefficients; sigma_col: (C, 1).
+    Same math as _ide_pure (same clamps, same grad-safety reasoning).
+    """
+    tiny = 1e-20
+    x, y, z = xyzT[0:1, :], xyzT[1:2, :], xyzT[2:3, :]
+
+    def iota_col(n):
+        return jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).astype(F32)
+
+    # z-Vandermonde: (l_max+1, T)
+    i_col = iota_col(l_max + 1)
+    logz = jnp.log(jnp.maximum(jnp.abs(z), tiny))
+    odd = i_col - 2.0 * jnp.floor(i_col * 0.5)
+    sgn = jnp.where(z < 0, -1.0, 1.0)
+    vzT = jnp.exp(i_col * logz) * (1.0 - odd + odd * sgn)
+    # (C, T) = mat^T (C, l_max+1) @ vzT — contract dim0 x dim0
+    vz_matT = jax.lax.dot_general(mat, vzT, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=F32)
+
+    blocks, l = [], 1
+    while l <= l_max:
+        blocks.append(iota_col(l + 1))
+        l *= 2
+    m_col = jnp.concatenate(blocks, axis=0)  # (C, 1)
+
+    r2 = x * x + y * y
+    logr = 0.5 * jnp.log(jnp.maximum(r2, tiny))
+    theta = _atan2_poly(y, x)
+    r_m = jnp.exp(m_col * logr)
+    re_xy = r_m * jnp.cos(m_col * theta)
+    im_xy = r_m * jnp.sin(m_col * theta)
+
+    atten = jnp.exp(-sigma_col * kappa_invT)
+    return jnp.concatenate([re_xy * vz_matT * atten,
+                            im_xy * vz_matT * atten], axis=0)
+
+
+def _dir_glue_pure_rowland(ws_dir, heads, noise, dirsT, mat, sigma_col, cd,
+                           l_max, use_srgb):
+    """Directional branch with ROW-LAND glue: same math as _dir_glue_pure,
+    but every narrow per-point chain runs with points along lanes.
+
+    heads (T, 139) and noise (T, 128) stay T-major (the trunk matmuls want
+    them so); dirsT is (3, T).  The trunk's first and skip matmuls are SPLIT
+    by input block so the (38, T) IDE and (1, T) d.n never transpose back:
+      x @ w0 = b_vec @ w0[:128] + wr_ideT^T @ w0[128:166] + d.n^T @ w0[166:]
+    with the transposed products expressed as dot_general contractions over
+    dim0 — the MXU streams either orientation natively.
+    """
+    # narrow head pieces -> row-land
+    normal_rawT = heads[:, 2:5].T                      # (3, T)
+    normT = jnp.sqrt(jnp.sum(normal_rawT * normal_rawT, axis=0,
+                             keepdims=True) + 1e-20)
+    normalT = -normal_rawT / (normT + 1e-7)
+    d_dot_nT = jnp.sum(dirsT * normalT, axis=0, keepdims=True)   # (1, T)
+    reflectT = dirsT - 2.0 * d_dot_nT * normalT
+    roughnessT = jax.nn.softplus(heads[:, 0:1].T - 1.0)          # (1, T)
+    wr_ideT = _ide_pure_rowland(reflectT, roughnessT, mat, sigma_col, l_max)
+
+    b_vec = (heads[:, 11:] + noise).astype(cd)         # (T, 128) T-major
+    # fold d.n onto the IDE rows: [wr_ide | d.n] matches w rows [nb:] exactly,
+    # and the contraction stays K=39 — a separate K=1 dot_general is an outer
+    # product that Mosaic lowers through a mixed-dtype vector.broadcast its
+    # verifier rejects (seen on v5e, 2026-08-17)
+    rowsT = jnp.concatenate([wr_ideT, d_dot_nT], axis=0).astype(cd)
+
+    (w0, b0, w1, b1, w2, b2, w3, b3, w4a, w4b, b4, w5, b5, w6, b6,
+     w7, b7, wh, bh) = ws_dir
+    nb = b_vec.shape[1]
+
+    def split_in(w, t_major, rowT, bias):
+        """[b_vec | wr_ide | d.n] @ w without materializing the concat."""
+        z = jnp.dot(t_major, w[:nb], preferred_element_type=F32)
+        z += jax.lax.dot_general(rowT, w[nb:],
+                                 (((0,), (0,)), ((), ())),
+                                 preferred_element_type=F32)
+        return z if bias is None else z + bias
+
+    h1 = _relu_cd(split_in(w0, b_vec, rowsT, b0), cd)
+    h2 = _relu_cd(_dense_f32(h1, w1, b1, cd), cd)
+    h3 = _relu_cd(_dense_f32(h2, w2, b2, cd), cd)
+    h4 = _relu_cd(_dense_f32(h3, w3, b3, cd), cd)
+    z5 = _relu_cd(split_in(w4a, b_vec, rowsT, None)
+                  + _dense_f32(h4, w4b, b4, cd), cd)
+    z6 = _relu_cd(_dense_f32(z5, w5, b5, cd), cd)
+    z7 = _relu_cd(_dense_f32(z6, w6, b6, cd), cd)
+    z8 = _relu_cd(_dense_f32(z7, w7, b7, cd), cd)
+    spec = jax.nn.sigmoid(_dense_f32(z8, wh, bh, cd))
+
+    specular = spec * jax.nn.sigmoid(heads[:, 8:11])
+    if use_srgb:
+        rgb = _srgb_pure(specular
+                         + jax.nn.sigmoid(heads[:, 5:8] - float(np.log(3.0))))
+    else:
+        rgb = specular + jax.nn.sigmoid(heads[:, 5:8])
+    return rgb, normalT.T
+
+
 SPA_HEAD_DIM = 2 + 9 + 128
 
 
 def _make_spa_fwd_kernel(cd, need_grad):
     def kernel(enc_ref, *rest):
+        if need_grad:
+            pos_ref, pew_ref, peb_ref = rest[:3]
+            rest = rest[3:]
         ws = tuple(r[:] for r in rest[:N_REF_SPA_WS])
         outs = rest[N_REF_SPA_WS:]
         enc = enc_ref[:].astype(F32)
 
         if need_grad:
+            # d(sigma)/d(enc) via jax.vjp, then the whole normal-target
+            # finish IN-kernel: PE transpose (dPE^T g = (g*cos(pos@W+b))@W^T)
+            # + row-land normalize/negate.  The external version cost ~1.2
+            # ms/step of HBM passes over (N, 63) denc + a retained f32 PE
+            # (round-3 trace, multiply_reduce_fusion.16)
             def density_of(e):
                 rho_tau, _, _ = _spa_pure(ws, e, cd)
                 return rho_tau[:, 1:2]
 
             _, vjp_fn = jax.vjp(density_of, enc)
             (denc,) = vjp_fn(jnp.ones((enc.shape[0], 1), F32))
-            outs[1][:] = denc
+            pos, pew = pos_ref[:], pew_ref[:]
+            proj = jax.lax.dot_general(
+                pos, pew, (((1,), (0,)), ((), ())),
+                preferred_element_type=F32) + peb_ref[:]
+            g = denc[:, :3] + jax.lax.dot_general(
+                denc[:, 3:] * jnp.cos(proj), pew,
+                (((1,), (1,)), ((), ())), preferred_element_type=F32)
+            gT = g.T  # row-land: the (T, 3) norm chain at full lanes
+            norm = jnp.sqrt(jnp.sum(gT * gT, axis=0, keepdims=True))
+            outs[1][:] = (-(gT / jnp.maximum(1e-5, norm))).T
 
         rho_tau, nct, bn = _spa_pure(ws, enc, cd)
         outs[0][:] = jnp.concatenate([rho_tau, nct, bn], axis=1)
@@ -312,25 +438,44 @@ def _make_spa_bwd_kernel(cd):
     return kernel
 
 
-def _make_dir_fwd_kernel(cd, ide_level, use_srgb):
+def _dir_forward(ws, heads, noise, dirs, mat, sigma, cd, l_max, use_srgb,
+                 rowland):
+    """Dispatch between the T-major and row-land glue variants.
+
+    Returns (rgb, normal, density) — density is a PASSTHROUGH of
+    heads[:, 1].  Routing it through this function makes jax.vjp fold the
+    density cotangent into dheads column 1 inside the backward kernel; the
+    external alternative was a 219 MB/step pad+add combining the
+    (N, 139) dheads with the density column (round-3 trace).
+    """
+    if rowland:
+        rgb, normal = _dir_glue_pure_rowland(ws, heads, noise, dirs.T, mat,
+                                             sigma.T, cd, l_max, use_srgb)
+    else:
+        rgb, normal = _dir_glue_pure(ws, heads, noise, dirs, mat, sigma, cd,
+                                     l_max, use_srgb)
+    return rgb, normal, heads[:, 1:2]
+
+
+def _make_dir_fwd_kernel(cd, ide_level, use_srgb, rowland):
     l_max = int(ide_tables(ide_level)["l_max"])
 
     def kernel(heads_ref, noise_ref, dirs_ref, mat_ref, sigma_ref, *rest):
         ws = tuple(r[:] for r in rest[:N_REF_DIR_WS])
         out_ref = rest[N_REF_DIR_WS]
-        rgb, normal = _dir_glue_pure(
+        rgb, normal, density = _dir_forward(
             ws, heads_ref[:], noise_ref[:], dirs_ref[:], mat_ref[:],
-            sigma_ref[:], cd, l_max, use_srgb)
-        out_ref[:] = jnp.concatenate([rgb, normal], axis=1)  # (T, 6)
+            sigma_ref[:], cd, l_max, use_srgb, rowland)
+        out_ref[:] = jnp.concatenate([rgb, normal, density], axis=1)  # (T, 7)
 
     return kernel
 
 
-def _make_dir_bwd_kernel(cd, ide_level, use_srgb):
+def _make_dir_bwd_kernel(cd, ide_level, use_srgb, rowland):
     l_max = int(ide_tables(ide_level)["l_max"])
 
-    def kernel(heads_ref, noise_ref, dirs_ref, g_ref, mat_ref, sigma_ref,
-               *rest):
+    def kernel(heads_ref, noise_ref, dirs_ref, grgb_ref, gnrm_ref, gden_ref,
+               mat_ref, sigma_ref, *rest):
         wrefs = rest[:N_REF_DIR_WS]
         dheads_ref = rest[N_REF_DIR_WS]
         grads = rest[N_REF_DIR_WS + 1:]
@@ -343,13 +488,12 @@ def _make_dir_bwd_kernel(cd, ide_level, use_srgb):
                 gref[:] = jnp.zeros_like(gref)
 
         def full(ws_t, heads_t):
-            return _dir_glue_pure(ws_t, heads_t, noise_ref[:], dirs_ref[:],
-                                  mat_ref[:], sigma_ref[:], cd,
-                                  l_max, use_srgb)
+            return _dir_forward(ws_t, heads_t, noise_ref[:], dirs_ref[:],
+                                mat_ref[:], sigma_ref[:], cd,
+                                l_max, use_srgb, rowland)
 
         _, vjp_fn = jax.vjp(full, ws, heads)
-        g = g_ref[:]
-        dws, dheads = vjp_fn((g[:, 0:3], g[:, 3:6]))
+        dws, dheads = vjp_fn((grgb_ref[:], gnrm_ref[:], gden_ref[:]))
         dheads_ref[:] = dheads.astype(F32)
         for gref, dw in zip(grads, dws):
             gref[:] += dw.astype(F32)
@@ -358,7 +502,13 @@ def _make_dir_bwd_kernel(cd, ide_level, use_srgb):
 
 
 @functools.lru_cache(maxsize=None)
-def _make_spa_fused(cd, tile, interpret, need_grad):
+def _make_spa_fused(cd, tile, interpret, need_grad, bwd_tile=None):
+    # the backward (recompute + jax.vjp) fits scoped VMEM at 512 and runs
+    # ~13% faster there than at 256 (v5e, round 3 — the round-2 'OOMs at
+    # >=384' note predates the bool-mask relu residuals); the forward is
+    # tile-insensitive
+    bwd_tile = (512 if not interpret else tile) if bwd_tile is None \
+        else bwd_tile
     fwd_kernel = _make_spa_fwd_kernel(cd, need_grad)
     bwd_kernel = _make_spa_bwd_kernel(cd)
 
@@ -366,66 +516,76 @@ def _make_spa_fused(cd, tile, interpret, need_grad):
         return tuple(w.astype(F32) if w.shape[0] == 1 else w.astype(cd)
                      for w in ws)
 
-    def _fwd_impl(ws, enc):
+    def _fwd_impl(ws, enc, pos):
         n = enc.shape[0]
         wsc = _prep(ws)
         x = _pad_rows(enc.astype(cd), tile)
         grid = (x.shape[0] // tile,)
         out_specs = [_row_spec(tile, SPA_HEAD_DIM)]
         out_shape = [jax.ShapeDtypeStruct((x.shape[0], SPA_HEAD_DIM), F32)]
+        extra = ()
         if need_grad:
-            out_specs.append(_row_spec(tile, x.shape[1]))
-            out_shape.append(jax.ShapeDtypeStruct(x.shape, F32))
+            from nerf_tpu.core.fastmath import _pe_tables
+
+            levels = (enc.shape[1] - 3) // 6
+            pe_w, pe_b = _pe_tables(levels, 3)
+            extra = (_pad_rows(pos.astype(F32), tile),
+                     jnp.asarray(pe_w), jnp.asarray(pe_b).reshape(1, -1))
+            out_specs.append(_row_spec(tile, 3))
+            out_shape.append(jax.ShapeDtypeStruct((x.shape[0], 3), F32))
         outs = pl.pallas_call(
             fwd_kernel,
             grid=grid,
             in_specs=[_row_spec(tile, x.shape[1])]
+            + ([_row_spec(tile, 3), _full_spec(extra[1].shape),
+                _full_spec(extra[2].shape)] if need_grad else [])
             + [_full_spec(w.shape) for w in wsc],
             out_specs=tuple(out_specs),
             out_shape=tuple(out_shape),
             interpret=interpret,
-        )(x, *wsc)
-        denc = outs[1][:n] if need_grad else None
-        return outs[0][:n], denc
+        )(x, *extra, *wsc)
+        dgrad = outs[1][:n] if need_grad else None
+        return outs[0][:n], dgrad
 
     @jax.custom_vjp
-    def fused(ws, enc):
-        heads, denc = _fwd_impl(ws, enc)
-        if denc is None:
-            denc = jnp.zeros_like(enc, dtype=F32)
-        return heads, denc
+    def fused(ws, enc, pos):
+        heads, dgrad = _fwd_impl(ws, enc, pos)
+        if dgrad is None:
+            dgrad = jnp.zeros((enc.shape[0], 3), F32)
+        return heads, dgrad
 
-    def fused_fwd(ws, enc):
-        return fused(ws, enc), (ws, enc)
+    def fused_fwd(ws, enc, pos):
+        return fused(ws, enc, pos), (ws, enc)
 
     def fused_bwd(res, g):
         ws, enc = res
-        g_heads, _ = g  # denc cotangent dead (detached normal targets)
+        g_heads, _ = g  # density-grad cotangent dead (detached targets)
         wsc = _prep(ws)
-        x = _pad_rows(enc.astype(cd), tile)
-        gfull = _pad_rows(g_heads.astype(F32), tile)
-        grid = (x.shape[0] // tile,)
+        x = _pad_rows(enc.astype(cd), bwd_tile)
+        gfull = _pad_rows(g_heads.astype(F32), bwd_tile)
+        grid = (x.shape[0] // bwd_tile,)
         dws = pl.pallas_call(
             bwd_kernel,
             grid=grid,
-            in_specs=[_row_spec(tile, x.shape[1]),
-                      _row_spec(tile, SPA_HEAD_DIM)]
+            in_specs=[_row_spec(bwd_tile, x.shape[1]),
+                      _row_spec(bwd_tile, SPA_HEAD_DIM)]
             + [_full_spec(w.shape) for w in wsc],
             out_specs=tuple(_full_spec(w.shape) for w in wsc),
             out_shape=tuple(jax.ShapeDtypeStruct(w.shape, F32) for w in wsc),
             interpret=interpret,
         )(x, gfull, *wsc)
         dws = tuple(dg.astype(w.dtype) for dg, w in zip(dws, ws))
-        return dws, jnp.zeros_like(enc)
+        return dws, jnp.zeros_like(enc), jnp.zeros((enc.shape[0], 3), F32)
 
     fused.defvjp(fused_fwd, fused_bwd)
     return fused
 
 
 @functools.lru_cache(maxsize=None)
-def _make_dir_fused(cd, tile, interpret, ide_level, use_srgb):
-    fwd_kernel = _make_dir_fwd_kernel(cd, ide_level, use_srgb)
-    bwd_kernel = _make_dir_bwd_kernel(cd, ide_level, use_srgb)
+def _make_dir_fused(cd, tile, interpret, ide_level, use_srgb,
+                    rowland=True):
+    fwd_kernel = _make_dir_fwd_kernel(cd, ide_level, use_srgb, rowland)
+    bwd_kernel = _make_dir_bwd_kernel(cd, ide_level, use_srgb, rowland)
     tables = ide_tables(ide_level)
     ide_mat = np.asarray(tables["mat"], np.float32)
     ide_sigma = np.asarray(tables["sigma"], np.float32).reshape(1, -1)
@@ -434,12 +594,17 @@ def _make_dir_fused(cd, tile, interpret, ide_level, use_srgb):
         return tuple(w.astype(F32) if w.shape[0] == 1 else w.astype(cd)
                      for w in ws)
 
+    def _stage(heads, noise, dirs):
+        # noise stays in its incoming dtype (bf16 noise halves the largest
+        # HBM operand of both kernels; the caller draws it in cd)
+        return (_pad_rows(heads.astype(F32), tile),
+                _pad_rows(noise, tile),
+                _pad_rows(dirs.astype(F32), tile))
+
     def _fwd_impl(ws, heads, noise, dirs):
         n = heads.shape[0]
         wsc = _prep(ws)
-        h = _pad_rows(heads.astype(F32), tile)
-        nz = _pad_rows(noise.astype(F32), tile)
-        d = _pad_rows(dirs.astype(F32), tile)
+        h, nz, d = _stage(heads, noise, dirs)
         grid = (h.shape[0] // tile,)
         out = pl.pallas_call(
             fwd_kernel,
@@ -448,11 +613,11 @@ def _make_dir_fused(cd, tile, interpret, ide_level, use_srgb):
                       _row_spec(tile, nz.shape[1]), _row_spec(tile, 3),
                       _full_spec(ide_mat.shape), _full_spec(ide_sigma.shape)]
             + [_full_spec(w.shape) for w in wsc],
-            out_specs=_row_spec(tile, 6),
-            out_shape=jax.ShapeDtypeStruct((h.shape[0], 6), F32),
+            out_specs=_row_spec(tile, 7),
+            out_shape=jax.ShapeDtypeStruct((h.shape[0], 7), F32),
             interpret=interpret,
         )(h, nz, d, ide_mat, ide_sigma, *wsc)
-        return out[:n, 0:3], out[:n, 3:6]
+        return out[:n, 0:3], out[:n, 3:6], out[:n, 6]
 
     @jax.custom_vjp
     def fused(ws, heads, noise, dirs):
@@ -463,22 +628,21 @@ def _make_dir_fused(cd, tile, interpret, ide_level, use_srgb):
 
     def fused_bwd(res, g):
         ws, heads, noise, dirs = res
-        g_rgb, g_normal = g
+        g_rgb, g_normal, g_density = g
         n = heads.shape[0]
         wsc = _prep(ws)
-        h = _pad_rows(heads.astype(F32), tile)
-        nz = _pad_rows(noise.astype(F32), tile)
-        d = _pad_rows(dirs.astype(F32), tile)
-        gfull = _pad_rows(
-            jnp.concatenate([g_rgb.astype(F32), g_normal.astype(F32)],
-                            axis=1), tile)
+        h, nz, d = _stage(heads, noise, dirs)
+        grgb = _pad_rows(g_rgb.astype(F32), tile)
+        gnrm = _pad_rows(g_normal.astype(F32), tile)
+        gden = _pad_rows(g_density.astype(F32).reshape(n, 1), tile)
         grid = (h.shape[0] // tile,)
         outs = pl.pallas_call(
             bwd_kernel,
             grid=grid,
             in_specs=[_row_spec(tile, h.shape[1]),
                       _row_spec(tile, nz.shape[1]), _row_spec(tile, 3),
-                      _row_spec(tile, 6),
+                      _row_spec(tile, 3), _row_spec(tile, 3),
+                      _row_spec(tile, 1),
                       _full_spec(ide_mat.shape), _full_spec(ide_sigma.shape)]
             + [_full_spec(w.shape) for w in wsc],
             out_specs=(_row_spec(tile, h.shape[1]),)
@@ -486,7 +650,7 @@ def _make_dir_fused(cd, tile, interpret, ide_level, use_srgb):
             out_shape=(jax.ShapeDtypeStruct(h.shape, F32),)
             + tuple(jax.ShapeDtypeStruct(w.shape, F32) for w in wsc),
             interpret=interpret,
-        )(h, nz, d, gfull, ide_mat, ide_sigma, *wsc)
+        )(h, nz, d, grgb, gnrm, gden, ide_mat, ide_sigma, *wsc)
         dheads, dws = outs[0], outs[1:]
         dws = tuple(dg.astype(w.dtype) for dg, w in zip(dws, ws))
         return (dws, dheads[:n].astype(heads.dtype), jnp.zeros_like(noise),
@@ -496,39 +660,52 @@ def _make_dir_fused(cd, tile, interpret, ide_level, use_srgb):
     return fused
 
 
-def make_ref_fused(compute_dtype=jnp.bfloat16, tile: int = 512,
+def make_ref_fused(compute_dtype=jnp.bfloat16, tile: int = 256,
                    interpret: bool = False, need_grad: bool = True,
-                   ide_level: int = 4, use_srgb: bool = False):
+                   ide_level: int = 4, use_srgb: bool = False,
+                   rowland: bool = True, dir_tile: int = None):
     """Fused whole-Ref-NeRF fine forward, split at the heads boundary.
 
-    (ws, enc (N, Dx), dirs (N, 3), noise (N, 128)) ->
+    (ws, enc (N, Dx), dirs (N, 3), noise (N, 128), pos (N, 3)) ->
       (rgb (N, 3) f32, density (N,) f32, normal (N, 3) f32,
-       denc (N, Dx) f32 or None)
+       density_grad (N, 3) f32 or None)
 
-    Two kernels: spatial trunk -> packed heads (N, 139) [+ in-kernel
-    density-gradient d(sigma)/d(enc)], and directional-with-glue
-    heads -> (rgb, normal) whose VJP emits d(heads).  The heads boundary is
-    tiny (139 f32/pt), so unlike an MLP-only fusion nothing big
+    Two kernels: spatial trunk -> packed heads (N, 139) [+ the COMPLETE
+    density-gradient normal target: in-kernel d(sigma)/d(enc) vjp, PE
+    transpose, row-land normalize], and directional-with-glue
+    heads -> (rgb, normal, density) whose VJP emits d(heads).  The heads
+    boundary is tiny (139 f32/pt), so unlike an MLP-only fusion nothing big
     materializes between kernels; the split keeps each backward's VMEM
     live-set inside the 16 MB scoped limit (the single whole-network
     backward kernel measured 34 MB at tile=512).
 
     ``noise`` is the bottleneck perturbation, already scaled (zeros for
-    eval).  denc is a detached constant (torch create_graph=False parity);
-    the caller maps it through the PE transpose.  Weight grads flow; enc/
-    noise/dirs cotangents are zero (no parameter gradient flows through
-    them — depths detached, utils.py:36).
+    eval), ideally drawn in ``compute_dtype`` (its (N, 128) array is the
+    largest kernel operand).  density_grad is a detached constant (torch
+    create_graph=False parity).  Weight grads flow; enc/noise/dirs/pos
+    cotangents are zero (no parameter gradient flows through them — depths
+    detached, utils.py:36).
     """
     cd = compute_dtype
+    # the spatial backward's vjp live set caps its tile at 256 (scoped VMEM);
+    # the row-land directional backward fits 512 and runs fastest there
+    dir_tile = (512 if rowland else tile) if dir_tile is None else dir_tile
     spa = _make_spa_fused(cd, tile, interpret, need_grad)
-    dr = _make_dir_fused(cd, tile, interpret, ide_level, use_srgb)
+    dr = _make_dir_fused(cd, dir_tile, interpret, ide_level, use_srgb,
+                         rowland)
 
-    def fused(ws, enc, dirs, noise):
+    def fused(ws, enc, dirs, noise, pos=None):
+        if need_grad and pos is None:
+            raise ValueError("need_grad=True requires the raw positions "
+                             "(the density-grad finish runs in-kernel)")
         ws_spa, ws_dir = ws[:N_REF_SPA_WS], ws[N_REF_SPA_WS:]
-        heads, denc = spa(ws_spa, enc)
-        rgb, normal = dr(ws_dir, heads, noise, dirs)
-        density = heads[:, 1]
-        return rgb, density, normal, (denc if need_grad else None)
+        if pos is None:
+            pos = jnp.zeros((enc.shape[0], 3), jnp.float32)
+        heads, dgrad = spa(ws_spa, enc, pos)
+        # density rides through the DIRECTIONAL kernel so its cotangent is
+        # folded into dheads in-kernel (see _dir_forward)
+        rgb, normal, density = dr(ws_dir, heads, noise, dirs)
+        return rgb, density, normal, (dgrad if need_grad else None)
 
     return fused
 

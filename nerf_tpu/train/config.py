@@ -68,6 +68,13 @@ class PipelineConfig:
     # much faster); True differentiates through the density gradients
     # (true second-order, shapes the density field toward smooth normals).
     second_order_normals: bool = False
+    # Ref-NeRF kernel strategy when use_pallas resolves True:
+    #   "all"    — whole fine forward in two Pallas kernels
+    #              (ops/ref_fused.py: spatial + directional-with-glue,
+    #              row-land narrow ops; 49.4k vs XLA's 38.3k rays/s on v5e,
+    #              round 3) — the default
+    #   "hybrid" — Pallas spatial kernel + XLA directional branch (35.1k)
+    ref_kernels: str = "all"
 
     @property
     def n_merged(self) -> int:

@@ -207,27 +207,74 @@ def _proposal_weights(prop: ProposalNetwork, prop_params, rays, c_z, cfg,
 # fine stage
 # ---------------------------------------------------------------------------
 
+def _ref_fine_forward_allkernel(nerf: RefNeRF, nerf_params, pos, dirs,
+                                noise_key, train: bool, need_grad: bool,
+                                cfg: PipelineConfig):
+    """All-kernel fused Ref-NeRF forward (cfg.ref_kernels="all").
+
+    The whole fine forward runs as the two Pallas kernels of
+    ops/ref_fused.py — spatial trunk + packed heads (+ in-kernel
+    d(sigma)/d(enc)), then directional-with-glue (normalize/reflect/IDE/
+    trunk/composition) whose in-kernel jax.vjp emits d(heads).  Nothing
+    wider than the (N, 139) heads crosses HBM between them.
+
+    Only valid for detached normal targets (second_order_normals=False);
+    callers fall back to the flax path otherwise.
+    """
+    from nerf_tpu import ops
+    from nerf_tpu.core.encoding import positional_encoding
+
+    cd, tile, interpret = _fused_kernel_args(cfg)
+    r, p = pos.shape[:2]
+    n = r * p
+    pos_f = jax.lax.stop_gradient(pos).reshape(n, 3)
+    dirs_f = jax.lax.stop_gradient(dirs).reshape(n, 3)
+    # cast at construction: the convert fuses into the PE sin fusion and the
+    # custom-vjp residual is the cd array — an f32 enc residual cost an extra
+    # 47 MB/step materialization (round-3 trace); matches the flax path's
+    # enc.astype(self.dtype)
+    enc = jnp.concatenate(
+        [pos_f, positional_encoding(pos_f, nerf.pos_levels)],
+        axis=-1).astype(cd)
+    if train and noise_key is not None and nerf.perturb_bottleneck > 0:
+        # cd draw: the (N, 128) noise is the largest kernel operand; f32
+        # cost 100 MB/step of threefry+materialize (0.8 ms, round-3 trace)
+        noise = nerf.perturb_bottleneck * jax.random.normal(
+            noise_key, (n, nerf.bottleneck_dim), dtype=cd)
+    else:
+        noise = jnp.zeros((n, nerf.bottleneck_dim), cd)
+
+    ws = (ops.ref_spatial_weights_from_params(nerf_params)
+          + ops.ref_directional_weights_from_params(nerf_params))
+    fused = ops.make_ref_fused(
+        cd, tile=min(tile, 256), interpret=interpret, need_grad=need_grad,
+        ide_level=nerf.ide_level, use_srgb=nerf.use_srgb)
+    rgb, density, normal, dgrad = fused(ws, enc, dirs_f, noise, pos=pos_f)
+
+    density_grad = None
+    if need_grad:
+        density_grad = jax.lax.stop_gradient(dgrad).reshape(r, p, 3)
+    return (rgb.astype(jnp.float32).reshape(r, p, 3), density.reshape(r, p),
+            normal.astype(jnp.float32).reshape(r, p, 3), density_grad)
+
+
 def _ref_fine_forward_fused(nerf: RefNeRF, nerf_params, pos, dirs, noise_key,
                             train: bool, need_grad: bool,
                             cfg: PipelineConfig):
-    """Hybrid fused Ref-NeRF forward: Pallas spatial kernel + XLA directional.
+    """Hybrid fused Ref-NeRF forward: Pallas spatial kernel + XLA directional
+    (cfg.ref_kernels="hybrid"; kept as an A/B alternative — the row-land
+    all-kernel variant is the default and faster, 49.4k vs 35.1k rays/s).
 
-    Trace-driven split (BENCHMARKS.md round-2 notes): the spatial kernel
-    computes the trunk, the packed heads AND the density-gradient normal
-    targets (d sigma / d enc) in one VMEM residency at ~79% MFU — 2.6 ms vs
-    the XLA path's 8.9 ms of three near-roofline HBM passes.  The
-    directional branch stays in XLA, where the IDE/reflection glue fuses
-    into the matmul fusions; inside a Pallas kernel the same glue runs as
-    narrow (T, 1..19) VPU ops at ~17% MFU and LOSES (measured 31.2k vs
-    38.3k rays/s for the all-kernel variant, which remains available as
-    ops.make_ref_fused and is exercised by tests).
+    The spatial kernel computes the trunk, the packed heads AND the
+    density-gradient normal targets in one VMEM residency; the directional
+    branch stays in XLA, where the IDE/reflection glue fuses into the
+    matmul fusions.
 
     Only valid for detached normal targets (cfg.second_order_normals=False)
     — the caller falls back to the flax path otherwise.
     """
     from nerf_tpu import ops
     from nerf_tpu.core.encoding import positional_encoding
-    from nerf_tpu.core.fastmath import _pe_tables
     from nerf_tpu.ops.ref_fused import _make_spa_fused
 
     cd, tile, interpret = _fused_kernel_args(cfg)
@@ -238,26 +285,16 @@ def _ref_fine_forward_fused(nerf: RefNeRF, nerf_params, pos, dirs, noise_key,
     n = r * p
     pos_f = jax.lax.stop_gradient(pos).reshape(n, 3)
     enc = jnp.concatenate(
-        [pos_f, positional_encoding(pos_f, nerf.pos_levels)], axis=-1)
+        [pos_f, positional_encoding(pos_f, nerf.pos_levels)],
+        axis=-1).astype(cd)
 
     spa = _make_spa_fused(cd, tile, interpret, need_grad)
-    heads, denc = spa(ops.ref_spatial_weights_from_params(nerf_params), enc)
+    heads, dgrad = spa(ops.ref_spatial_weights_from_params(nerf_params),
+                       enc, pos_f)
 
     density_grad = None
     if need_grad:
-        # d(sigma)/d(pos) = denc[:, :3] + PE-transpose(denc[:, 3:]):
-        # PE = sin(pos @ W + b)  =>  dPE^T g = (g * cos(pos @ W + b)) @ W^T
-        w, b = _pe_tables(nerf.pos_levels, 3)
-        proj = jax.lax.dot_general(
-            pos_f, jnp.asarray(w), (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST) + jnp.asarray(b)
-        g = denc[:, :3] + jax.lax.dot_general(
-            denc[:, 3:] * jnp.cos(proj), jnp.asarray(w),
-            (((1,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST)
-        g_norm = jnp.linalg.norm(g, axis=-1, keepdims=True)
-        density_grad = jax.lax.stop_gradient(
-            -(g / jnp.maximum(1e-5, g_norm))).reshape(r, p, 3)
+        density_grad = jax.lax.stop_gradient(dgrad).reshape(r, p, 3)
 
     # spatial post-processing identical to RefNeRF.spatial
     # (models/refnerf.py:79-92), then the flax directional branch — it
@@ -302,16 +339,18 @@ def _ref_fine_forward(nerf: RefNeRF, nerf_params, pos, dirs, noise_key,
     positions carry no parameter gradient, and the density gradient is a
     constant the spatial kernel computes in its own forward).
     """
-    # The ref fused kernels are opt-in (explicit --pallas), NOT part of the
-    # auto default: measured on v5e at R=1024 they lose to XLA (29.6k vs
-    # 38.3k rays/s) because the IDE/reflection glue that XLA fuses into the
-    # MLP matmul fusions cannot fuse into opaque custom-calls and round-trips
-    # HBM as standalone elementwise ops (~16 ms/step). Winning here needs the
-    # glue INSIDE the directional kernel — tracked for a later round.
-    if (cfg is not None and cfg.use_pallas is True and not second_order
+    # Fused-kernel dispatch (auto: ON on TPU backends, like the vanilla
+    # path).  History: round-2's MLP-only kernels LOST to XLA (29.6k vs
+    # 38.3k rays/s — the IDE/reflection glue that XLA fuses into matmul
+    # fusions cannot fuse into opaque custom-calls); round 3's
+    # ref_kernels="all" variant puts the glue INSIDE the directional kernel
+    # in row-land layout and WINS (49.4k rays/s, BENCHMARKS.md).
+    if (cfg is not None and use_pallas(cfg) and not second_order
             and nerf.cat_origin):
-        return _ref_fine_forward_fused(nerf, nerf_params, pos, dirs,
-                                       noise_key, train, need_grad, cfg)
+        fwd = (_ref_fine_forward_allkernel if cfg.ref_kernels == "all"
+               else _ref_fine_forward_fused)
+        return fwd(nerf, nerf_params, pos, dirs, noise_key, train,
+                   need_grad, cfg)
 
     def spatial_fn(p):
         out = nerf.apply({"params": nerf_params}, p, method=RefNeRF.spatial)
@@ -356,14 +395,24 @@ def _mip_pass(nerf, nerf_params, rays, edges, cfg: PipelineConfig,
     return (*out, mu_t)
 
 
-def render_rays_train(models, variables, rays, key, cfg: PipelineConfig):
+def render_rays_train(models, variables, rays, key, cfg: PipelineConfig,
+                      noise: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None):
     """Training forward for a ray batch. Returns a dict of render outputs.
 
     Mirrors the reference run() closure (train.py:164-199) end to end.
-    rays: (R, 6).
+    rays: (R, 6).  ``noise`` = (stratified jitter (R, n_coarse [+1 for mip]),
+    SORTED inverse-CDF uniforms (R, n_fine+1)) overrides the internal draws —
+    used by the trajectory-parity harness to feed this step and the
+    reference's torch step identical randomness (test_trajectory_parity.py).
     """
     nerf, prop = models
-    k_strat, k_inv, k_noise = jax.random.split(key, 3)
+    if noise is None:
+        k_strat, k_inv, k_noise = jax.random.split(key, 3)
+        jitter = u = None
+    else:
+        k_strat = k_inv = None
+        k_noise = key
+        jitter, u = noise
     n_rays = rays.shape[0]
 
     if cfg.model == "mip":
@@ -371,11 +420,13 @@ def render_rays_train(models, variables, rays, key, cfg: PipelineConfig):
         from nerf_tpu.core.fastmath import sorted_uniforms
 
         c_edges = sampling.stratified_samples(
-            k_strat, n_rays, cfg.n_coarse + 1, cfg.near, cfg.far)
+            k_strat, n_rays, cfg.n_coarse + 1, cfg.near, cfg.far,
+            jitter=jitter)
         coarse_rgb, w_c, _, _ = _mip_pass(nerf, variables["nerf"], rays, c_edges, cfg)
         w_blur = sampling.max_blur_filter(
             jax.lax.stop_gradient(w_c), cfg.max_blur_alpha)
-        u = sorted_uniforms(k_inv, (n_rays, cfg.n_fine + 1))
+        if u is None:
+            u = sorted_uniforms(k_inv, (n_rays, cfg.n_fine + 1))
         f_edges, _, _ = sampling.sample_pdf(
             None, c_edges, w_blur, cfg.n_fine + 1, u=u)
         fine_rgb, w_f, _, mu_t = _mip_pass(nerf, variables["nerf"], rays, f_edges, cfg)
@@ -384,13 +435,15 @@ def render_rays_train(models, variables, rays, key, cfg: PipelineConfig):
         return {"fine_rgb": fine_rgb, "coarse_rgb": coarse_rgb,
                 "weights": w_f, "z_fine": mu_t}
 
-    c_z = sampling.stratified_samples(k_strat, n_rays, cfg.n_coarse, cfg.near, cfg.far)
+    c_z = sampling.stratified_samples(k_strat, n_rays, cfg.n_coarse, cfg.near,
+                                      cfg.far, jitter=jitter)
     need_prop_grad = cfg.prop_normal and cfg.model == "ref"
     w_blur, _, coarse_grad = _proposal_weights(
         prop, variables["prop"], rays, c_z, cfg, train=True, with_grad=need_prop_grad
     )
 
-    f_z, below = sampling.inverse_sample(k_inv, w_blur, c_z, cfg.n_fine + 1, sort=True)
+    f_z, below = sampling.inverse_sample(k_inv, w_blur, c_z, cfg.n_fine + 1,
+                                         sort=True, u=u)
     out: Dict[str, Any] = {"prop_weights": w_blur, "coarse_grad": coarse_grad}
 
     if cfg.model == "ref":

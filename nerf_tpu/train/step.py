@@ -62,9 +62,13 @@ def sample_train_rays(key, pixel_pool, poses, img_idx, hw, focal, ray_num: int,
     return rays, rgb_gt
 
 
-def compute_loss(models, params, rays, rgb_gt, key, cfg: PipelineConfig):
-    """Total loss + metrics for one ray batch (train.py:193-198 parity)."""
-    out = render_rays_train(models, params, rays, key, cfg)
+def compute_loss(models, params, rays, rgb_gt, key, cfg: PipelineConfig,
+                 noise=None):
+    """Total loss + metrics for one ray batch (train.py:193-198 parity).
+
+    ``noise`` passes through to render_rays_train — pre-drawn (jitter, u)
+    for the trajectory-parity harness."""
+    out = render_rays_train(models, params, rays, key, cfg, noise=noise)
     img_loss = losses.mse(out["fine_rgb"], rgb_gt)
     if cfg.model == "mip":
         # Mip-NeRF: no proposal net; the coarse pass of the shared network

@@ -44,6 +44,7 @@ SLOW_MODULES = {
     "tests.test_resume_determinism",
     "tests.test_specular_scene",
     "tests.test_torch_parity",
+    "tests.test_trajectory_parity",
 }
 SLOW_TESTS = {
     "test_ref_model_loss_and_grads_finite",

@@ -40,3 +40,45 @@ def test_fused_pipeline_matches_xla():
     ):
         np.testing.assert_allclose(
             b, a, rtol=5e-4, atol=1e-6, err_msg=jax.tree_util.keystr(kp))
+
+
+def _ref_loss_and_grads(cfg, params, models, rays, rgb_gt, k):
+    def f(p):
+        return compute_loss(models, p, rays, rgb_gt, k, cfg)
+    (loss, _), grads = jax.value_and_grad(f, has_aux=True)(params)
+    return loss, grads
+
+
+def test_ref_allkernel_pipeline_matches_xla():
+    """cfg.ref_kernels="all" (whole fine forward in the two ops/ref_fused.py
+    kernels) must reproduce the XLA ref path through compute_loss: same loss,
+    same grads.  bottleneck_noise=0 — the flax path draws noise at (R, P, 128)
+    and the kernel path at (R*P, 128), so nonzero noise differs by
+    construction (same distribution)."""
+    base = PipelineConfig(model="ref", ray_batch=8, n_coarse=8, n_fine=8,
+                          nerf_width=32, prop_width=32, use_bf16=False,
+                          pallas_tile=64, bottleneck_noise=0.0)
+    key = jax.random.PRNGKey(0)
+    models = make_models(base)
+    params = init_variables(base, key)
+    rays = jnp.concatenate(
+        [jnp.zeros((8, 3)), jax.random.normal(jax.random.PRNGKey(1), (8, 3))],
+        axis=-1)
+    rgb_gt = jax.random.uniform(jax.random.PRNGKey(2), (8, 3))
+    k = jax.random.PRNGKey(3)
+
+    loss_ref, grads_ref = _ref_loss_and_grads(base, params, models, rays,
+                                              rgb_gt, k)
+    for mode in ("hybrid", "all"):
+        cfg = base.replace(use_pallas=True, ref_kernels=mode)
+        loss_f, grads_f = _ref_loss_and_grads(cfg, params, models, rays,
+                                              rgb_gt, k)
+        np.testing.assert_allclose(loss_f, loss_ref, rtol=1e-5,
+                                   err_msg=mode)
+        for (kp, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(grads_ref),
+            jax.tree_util.tree_leaves_with_path(grads_f),
+        ):
+            np.testing.assert_allclose(
+                b, a, rtol=5e-4, atol=2e-6,
+                err_msg=f"{mode}:{jax.tree_util.keystr(kp)}")

@@ -107,10 +107,11 @@ def test_ref_all_kernel_variant_matches_flax():
                                    use_srgb=False)
         ws = (ops.ref_spatial_weights_from_params(prm)
               + ops.ref_directional_weights_from_params(prm))
-        rgb, density, normal, denc = fused(ws, enc, dirs_f, noise)
-        return rgb, density, normal, denc
+        rgb, density, normal, dgrad = fused(ws, enc, dirs_f, noise,
+                                            pos=pos_f)
+        return rgb, density, normal, dgrad
 
-    rgb, density, normal, denc = run(params)
+    rgb, density, normal, dgrad = run(params)
     o_rgb, o_den, o_nor, o_grad = _ref_fine_forward(
         nerf, params, pos, dirs, None, train=False, need_grad=True,
         cfg=cfg_xla)
@@ -120,6 +121,10 @@ def test_ref_all_kernel_variant_matches_flax():
                                np.asarray(o_den), atol=2e-5)
     np.testing.assert_allclose(np.asarray(normal).reshape(r, p, 3),
                                np.asarray(o_nor), atol=2e-5)
+    # the in-kernel density-grad finish (PE transpose + normalize) vs the
+    # oracle's jax.vjp-over-flax targets
+    np.testing.assert_allclose(np.asarray(dgrad).reshape(r, p, 3),
+                               np.asarray(o_grad), atol=2e-5)
 
     def loss_k(prm):
         rgb, density, normal, _ = run(prm)

@@ -1,0 +1,61 @@
+"""Trajectory-parity: the reference's own torch train step raced against
+nerf_tpu from a common init with identical randomness (tools/trajectory_race).
+
+Pins the COMPOSITION — loss assembly (train.py:195-198), actual_lr scaling
+(train.py:56), softplus(x+0.5) (train.py:181), Adam + DecayLrScheduler
+semantics — which per-component golden tests cannot.  Runs the reference's
+modules on CPU (same _cpu_compat stubs as test_torch_parity).
+
+Tolerances: the first few steps are excluded from the tight assertion.  At
+init the proposal CDF is nearly flat (weights ~ the 1e-5 regularizer,
+utils.py:110), so consecutive CDF edges sit within reduction-order fp noise
+of each other and the SHARED u draws can land on different sides in the two
+frameworks — a one-bin flip moves a fine sample a full bin and shifts that
+step's MSE by percents.  This is an inherent discretization sensitivity of
+inverse-CDF sampling on flat CDFs (both sides' searchsorted semantics are
+separately golden-pinned, test_sampling), not a composition bug; once
+training concentrates the weights (a handful of steps) the trajectories
+track to ~3e-5 and any real composition change would hold them apart.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir("/root/reference/nerf"),
+    reason="reference repo not mounted")
+
+
+def _rel(a, b):
+    return np.abs(a - b) / (np.abs(a) + 1e-9)
+
+
+def test_vanilla_trajectory_tracks_reference():
+    from tools.trajectory_race import run_race
+
+    traj = run_race(model="vanilla", steps=50)
+    rel_img = _rel(traj["torch_img"], traj["jax_img"])[10:]
+    rel_loss = _rel(traj["torch_loss"], traj["jax_loss"])
+    assert rel_img.max() < 5e-3, f"img_loss diverged: {rel_img.max():.2e}"
+    assert np.median(rel_loss) < 2e-3, \
+        f"loss trajectory diverged: median rel {np.median(rel_loss):.2e}"
+    assert abs(traj["torch_psnr"][-1] - traj["jax_psnr"][-1]) < 0.05
+
+
+def test_ref_trajectory_tracks_reference():
+    """Ref-NeRF: adds the density-gradient normal targets, normal/backface
+    losses, and the 4e-4/0.1 loss weights to the raced composition.  width
+    is pinned to 256 by the reference (ref_model.py:55-59 silently requires
+    hidden_unit == output_dim)."""
+    from tools.trajectory_race import run_race
+
+    traj = run_race(model="ref", steps=10, ray_num=32, n_coarse=16,
+                    n_fine=24, prop_width=48)
+    rel_img = _rel(traj["torch_img"], traj["jax_img"])[4:]
+    rel_loss = _rel(traj["torch_loss"], traj["jax_loss"])
+    assert rel_img.max() < 5e-3, f"img_loss diverged: {rel_img.max():.2e}"
+    assert np.median(rel_loss) < 2e-3, \
+        f"loss trajectory diverged: median rel {np.median(rel_loss):.2e}"

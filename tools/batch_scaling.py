@@ -59,23 +59,33 @@ def main():
     ap.add_argument("--model", default="vanilla", choices=["vanilla", "ref"])
     ap.add_argument("--batches", type=int, nargs="+",
                     default=[1024, 4096, 16384])
+    ap.add_argument("--axis", default="select", choices=["select", "pallas"],
+                    help="'select': fused vs matmul endpoint selects; "
+                         "'pallas': fused kernels vs the XLA path")
     args = ap.parse_args()
 
     from nerf_tpu.train.config import PipelineConfig
 
-    print(f"devices: {jax.devices()}  model={args.model}", file=sys.stderr)
+    print(f"devices: {jax.devices()}  model={args.model} axis={args.axis}",
+          file=sys.stderr)
+    variants = (("fused", "matmul") if args.axis == "select"
+                else ("pallas", "xla"))
     rows = []
     for r in args.batches:
-        for select in ("fused", "matmul"):
-            import nerf_tpu.core.sampling as sampling_mod
-            sampling_mod.DEFAULT_SELECT = select
+        for variant in variants:
+            use_pallas = None
+            if args.axis == "select":
+                import nerf_tpu.core.sampling as sampling_mod
+                sampling_mod.DEFAULT_SELECT = variant
+            else:
+                use_pallas = variant == "pallas"
             cfg = PipelineConfig(ray_batch=r, n_coarse=64, n_fine=128,
                                  nerf_width=256, prop_width=256,
                                  white_bkg=True, use_bf16=True,
-                                 model=args.model)
+                                 model=args.model, use_pallas=use_pallas)
             rps = measure(cfg)
-            rows.append((r, select, rps))
-            print(f"R={r:6d} select={select:6s} {rps:12,.0f} rays/s",
+            rows.append((r, variant, rps))
+            print(f"R={r:6d} {variant:6s} {rps:12,.0f} rays/s",
                   file=sys.stderr)
     print("\nsummary:", file=sys.stderr)
     for r, s, v in rows:
