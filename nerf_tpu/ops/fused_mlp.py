@@ -112,11 +112,14 @@ def _vanilla_fwd_kernel(encx_ref, encd_ref, *rest):
     out_ref[:] = jnp.concatenate([rgb, sigma], axis=1)
 
 
-def _vanilla_bwd_kernel(encx_ref, encd_ref, g_ref, *rest):
-    _vanilla_bwd_tile(encx_ref[:], encd_ref[:], g_ref[:], rest)
+def _vanilla_bwd_kernel(encx_ref, encd_ref, grgb_ref, gsig_ref, *rest):
+    # separate cotangent refs: the (N, 4) concat of [g_rgb | g_sigma] plus
+    # its layout copy cost ~0.4 ms/step outside (round-3 trace)
+    _vanilla_bwd_tile(encx_ref[:], encd_ref[:], grgb_ref[:], gsig_ref[:],
+                      rest)
 
 
-def _vanilla_bwd_tile(x, d, g, rest):
+def _vanilla_bwd_tile(x, d, grgb, gsig, rest):
     r, grads = rest[:N_VANILLA_WS], rest[N_VANILLA_WS:]
     (w0, b0, w1, b1, w2, b2, w3, b3, w4a, w4b, b4, w5, b5, w6, b6,
      wsig, bsig, wb, bb, wr1a, wr1b, br1, wr2, br2) = r
@@ -128,8 +131,6 @@ def _vanilla_bwd_tile(x, d, g, rest):
     def _init():
         for gref in grads:
             gref[:] = jnp.zeros_like(gref)
-
-    grgb, gsig = g[:, :3], g[:, 3:4]
     dlogit = (grgb * rgb * (1.0 - rgb)).astype(cd)
     dr1 = jnp.where(r1.astype(F32) > 0, _dwt(dlogit, wr2), 0.0).astype(cd)
     dbvec = _dwt(dr1, wr1a)
@@ -233,23 +234,21 @@ def make_vanilla_fused(compute_dtype=jnp.bfloat16, tile: int = 512,
         wsc, x, d = _prep(ws, enc_x, enc_d)
         x = _pad_rows(x, tile)
         d = _pad_rows(d, tile)
-        gfull = _pad_rows(
-            jnp.concatenate(
-                [g_rgb.astype(F32), g_sigma.astype(F32)[:, None]], axis=1),
-            tile)
+        grgb = _pad_rows(g_rgb.astype(F32), tile)
+        gsig = _pad_rows(g_sigma.astype(F32)[:, None], tile)
         grid = (x.shape[0] // tile,)
         grads = pl.pallas_call(
             _vanilla_bwd_kernel,
             grid=grid,
             in_specs=[_row_spec(tile, x.shape[1]),
                       _row_spec(tile, d.shape[1]),
-                      _row_spec(tile, 4)]
+                      _row_spec(tile, 3), _row_spec(tile, 1)]
             + [_full_spec(w.shape) for w in wsc],
             out_specs=tuple(_full_spec(w.shape) for w in wsc),
             out_shape=tuple(
                 jax.ShapeDtypeStruct(w.shape, F32) for w in wsc),
             interpret=interpret,
-        )(x, d, gfull, *wsc)
+        )(x, d, grgb, gsig, *wsc)
         dws = tuple(dg.astype(w.dtype) for dg, w in zip(grads, ws))
         return dws, jnp.zeros_like(enc_x), jnp.zeros_like(enc_d)
 
