@@ -149,7 +149,13 @@ def config_from_args(args) -> PipelineConfig:
         nerf_width=args.nerf_net_width,
         prop_width=args.prop_net_width,
         use_bf16=use_bf16_from_args(args),
-        use_pallas=getattr(args, "pallas", None),
+        # -b forces the XLA/flax oracle path (unless --pallas is explicit):
+        # neither jax_debug_nans nor the per-module NaN hooks can see inside
+        # an opaque custom call, and the reference's -b likewise debugs the
+        # un-optimized path (AMP off, train.py:46)
+        use_pallas=(False if (args.debug and getattr(args, "pallas", None)
+                              is None)
+                    else getattr(args, "pallas", None)),
         use_ipe=getattr(args, "use_ipe", False) or mip,
         second_order_normals=getattr(args, "second_order_normals", False),
         ref_kernels=getattr(args, "ref_kernels", "all"),

@@ -56,6 +56,15 @@ class Trainer:
         self.cfg = config_from_args(args)
         if args.debug:
             jax.config.update("jax_debug_nans", True)
+            # Module-attributed NaN hooks on every flax submodule, entered
+            # for the process lifetime like the reference's registered
+            # forward hooks (train.py:86-89). Tracing of the epoch step
+            # happens inside this context, so the callbacks are baked into
+            # the compiled program.
+            from nerf_tpu.utils.debug import nan_attribution
+
+            self._nan_hooks = nan_attribution()
+            self._nan_hooks.__enter__()
 
         root = os.path.join(args.dataset_root, args.dataset_name)
         use_div = mode == "ma" and getattr(args, "div", False)

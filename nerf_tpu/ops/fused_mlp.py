@@ -42,6 +42,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 F32 = jnp.float32
 
+# Raise the per-kernel scoped-VMEM ceiling above the 16 MB default (v5e has
+# 128 MB/core). XLA sometimes stack-allocates a custom call's OUTPUTS in
+# scoped VMEM too (observed at large ray batches: the 24 weight-grad outputs
+# pushed the vanilla backward 21 KB over the 16 MB limit at R>=4096 while
+# R=1024 compiled — the placement choice depends on the surrounding
+# program), so the kernel's own budget must leave headroom for that.
+_VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+
 
 def _relu(x):
     return jnp.maximum(x, 0.0)
@@ -217,6 +225,7 @@ def make_vanilla_fused(compute_dtype=jnp.bfloat16, tile: int = 512,
             out_specs=_row_spec(tile, 4),
             out_shape=jax.ShapeDtypeStruct((x.shape[0], 4), F32),
             interpret=interpret,
+            compiler_params=_VMEM_LIMIT,
         )(x, d, *ws)
         return out[:n, :3], out[:n, 3]
 
@@ -248,6 +257,7 @@ def make_vanilla_fused(compute_dtype=jnp.bfloat16, tile: int = 512,
             out_shape=tuple(
                 jax.ShapeDtypeStruct(w.shape, F32) for w in wsc),
             interpret=interpret,
+            compiler_params=_VMEM_LIMIT,
         )(x, d, grgb, gsig, *wsc)
         dws = tuple(dg.astype(w.dtype) for dg, w in zip(grads, ws))
         return dws, jnp.zeros_like(enc_x), jnp.zeros_like(enc_d)
@@ -370,6 +380,7 @@ def make_prop_fused(compute_dtype=jnp.bfloat16, tile: int = 512,
             out_specs=_row_spec(tile, 1),
             out_shape=jax.ShapeDtypeStruct((x.shape[0], 1), F32),
             interpret=interpret,
+            compiler_params=_VMEM_LIMIT,
         )(x, *ws)
         return out[:n, 0]
 
@@ -396,6 +407,7 @@ def make_prop_fused(compute_dtype=jnp.bfloat16, tile: int = 512,
             out_shape=tuple(
                 jax.ShapeDtypeStruct(w.shape, F32) for w in wsc),
             interpret=interpret,
+            compiler_params=_VMEM_LIMIT,
         )(x, gfull, *wsc)
         dws = tuple(dg.astype(w.dtype) for dg, w in zip(grads, ws))
         return dws, jnp.zeros_like(enc_x)

@@ -44,7 +44,7 @@ from jax.experimental import pallas as pl
 
 from nerf_tpu.core.encoding import ide_tables
 from nerf_tpu.ops.fused_mlp import (
-    F32, _full_spec, _pad_rows, _row_spec,
+    F32, _VMEM_LIMIT, _full_spec, _pad_rows, _row_spec,
 )
 
 # spatial weight tuple (kernels (in, out); biases (1, out)):
@@ -543,6 +543,7 @@ def _make_spa_fused(cd, tile, interpret, need_grad, bwd_tile=None):
             out_specs=tuple(out_specs),
             out_shape=tuple(out_shape),
             interpret=interpret,
+            compiler_params=_VMEM_LIMIT,
         )(x, *extra, *wsc)
         dgrad = outs[1][:n] if need_grad else None
         return outs[0][:n], dgrad
@@ -573,6 +574,7 @@ def _make_spa_fused(cd, tile, interpret, need_grad, bwd_tile=None):
             out_specs=tuple(_full_spec(w.shape) for w in wsc),
             out_shape=tuple(jax.ShapeDtypeStruct(w.shape, F32) for w in wsc),
             interpret=interpret,
+            compiler_params=_VMEM_LIMIT,
         )(x, gfull, *wsc)
         dws = tuple(dg.astype(w.dtype) for dg, w in zip(dws, ws))
         return dws, jnp.zeros_like(enc), jnp.zeros((enc.shape[0], 3), F32)
@@ -616,6 +618,7 @@ def _make_dir_fused(cd, tile, interpret, ide_level, use_srgb,
             out_specs=_row_spec(tile, 7),
             out_shape=jax.ShapeDtypeStruct((h.shape[0], 7), F32),
             interpret=interpret,
+            compiler_params=_VMEM_LIMIT,
         )(h, nz, d, ide_mat, ide_sigma, *wsc)
         return out[:n, 0:3], out[:n, 3:6], out[:n, 6]
 
@@ -650,6 +653,7 @@ def _make_dir_fused(cd, tile, interpret, ide_level, use_srgb,
             out_shape=(jax.ShapeDtypeStruct(h.shape, F32),)
             + tuple(jax.ShapeDtypeStruct(w.shape, F32) for w in wsc),
             interpret=interpret,
+            compiler_params=_VMEM_LIMIT,
         )(h, nz, d, grgb, gnrm, gden, ide_mat, ide_sigma, *wsc)
         dheads, dws = outs[0], outs[1:]
         dws = tuple(dg.astype(w.dtype) for dg, w in zip(dws, ws))

@@ -13,7 +13,7 @@ subsystems (SURVEY.md section 5):
 """
 
 from nerf_tpu.utils.checkpoint import CheckpointManager, load_checkpoint, save_checkpoint
-from nerf_tpu.utils.debug import check_finite, nan_debug
+from nerf_tpu.utils.debug import check_finite, nan_attribution, nan_debug
 from nerf_tpu.utils.image import save_image_grid, to_uint8
 from nerf_tpu.utils.metrics import MetricsWriter
 from nerf_tpu.utils.timer import Timer
@@ -21,5 +21,5 @@ from nerf_tpu.utils.timer import Timer
 __all__ = [
     "CheckpointManager", "save_checkpoint", "load_checkpoint",
     "Timer", "MetricsWriter", "save_image_grid", "to_uint8",
-    "nan_debug", "check_finite",
+    "nan_debug", "nan_attribution", "check_finite",
 ]

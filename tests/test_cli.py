@@ -110,6 +110,17 @@ class TestSingleTrainer:
         assert os.path.exists(tmp_path / "output" / "sphere" / "orbit.gif")
 
 
+def test_debug_flag_forces_oracle_path():
+    """-b debugs the XLA/flax oracle path: NaN hooks and jax_debug_nans
+    cannot see inside a Pallas custom call. An explicit --pallas wins."""
+    from nerf_tpu.cli.flags import config_from_args
+
+    assert config_from_args(get_parser().parse_args(["-b"])).use_pallas is False
+    assert config_from_args(get_parser().parse_args([])).use_pallas is None
+    assert config_from_args(
+        get_parser().parse_args(["-b", "--pallas"])).use_pallas is True
+
+
 def test_ref_kernels_flag_maps_to_config():
     """--ref_kernels selects the fused-kernel strategy; default is the
     row-land all-kernel variant (BENCHMARKS.md round 3)."""

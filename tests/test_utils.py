@@ -121,6 +121,78 @@ class TestDebug:
             assert jax.config.jax_debug_nans
         assert jax.config.jax_debug_nans == before
 
+    def test_nan_attribution_names_offending_module(self):
+        """-b parity, the attributed half: the failure must name the
+        SUBMODULE that produced the NaN (reference nan_hook prints the
+        module class, nerf_helper.py:26-36; we get the full flax path)."""
+        import flax
+        import flax.linen as nn
+
+        from nerf_tpu.utils.debug import nan_attribution
+
+        class Block(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                return nn.Dense(4)(x)
+
+        class Net(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                return Block(name="second")(Block(name="first")(x))
+
+        net = Net()
+        x = jnp.ones((2, 4))
+        params = flax.core.unfreeze(net.init(jax.random.PRNGKey(0), x))
+        kern = params["params"]["second"]["Dense_0"]["kernel"]
+        params["params"]["second"]["Dense_0"]["kernel"] = (
+            kern.at[0, 0].set(jnp.nan))
+
+        with nan_attribution():
+            f = jax.jit(lambda p, x: net.apply(p, x))
+            with pytest.raises(Exception, match="second/Dense_0"):
+                jax.block_until_ready(f(params, x))
+
+    def test_nan_attribution_through_real_model(self):
+        """Poisoning one VanillaNeRF layer must attribute the NaN to that
+        layer's flax path, not just 'somewhere in the forward'."""
+        import flax
+
+        from nerf_tpu.train.config import PipelineConfig
+        from nerf_tpu.train.pipeline import init_variables, make_models
+        from nerf_tpu.utils.debug import nan_attribution
+
+        cfg = PipelineConfig(ray_batch=8, n_coarse=8, n_fine=8,
+                             nerf_width=16, prop_width=16, model="vanilla")
+        nerf, _ = make_models(cfg)
+        variables = flax.core.unfreeze(
+            init_variables(cfg, jax.random.PRNGKey(0)))
+        kern = variables["nerf"]["block2"]["Dense_1"]["kernel"]
+        variables["nerf"]["block2"]["Dense_1"]["kernel"] = (
+            kern.at[0, 0].set(jnp.nan))
+
+        pos = jnp.ones((4, 3)) * 0.1
+        dirs = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (4, 1))
+        with nan_attribution():
+            f = jax.jit(lambda v: nerf.apply(
+                {"params": v["nerf"]}, pos, dirs))
+            with pytest.raises(Exception, match="block2/Dense_1"):
+                jax.block_until_ready(f(variables))
+
+    def test_nan_attribution_transparent_when_finite(self):
+        """The hooks must not change values: same outputs with and without
+        the context on a clean model."""
+        import flax.linen as nn
+
+        from nerf_tpu.utils.debug import nan_attribution
+
+        model = nn.Dense(8)
+        x = jnp.linspace(-1.0, 1.0, 12).reshape(3, 4)
+        params = model.init(jax.random.PRNGKey(1), x)
+        ref = model.apply(params, x)
+        with nan_attribution():
+            out = jax.jit(model.apply)(params, x)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
 
 def test_flops_model_matches_hand_count():
     """train_step_flops: hand-counted MACs for a tiny config, all models."""

@@ -22,7 +22,10 @@ import jax
 import jax.numpy as jnp
 
 
-def measure(cfg, n_scan=20):
+def measure(cfg, n_scan=100):
+    # 100-step scans: at 20 steps the per-scan host sync/dispatch overhead
+    # depressed readings ~6-14% vs bench.py's 250-step scans (round-2 table
+    # read 131k where the bench read 139.7k at the same config)
     from nerf_tpu.data.synthetic import make_synthetic_scene
     from nerf_tpu.train import schedule
     from nerf_tpu.train.pipeline import init_variables, make_models

@@ -40,7 +40,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=1024 * 193)
     ap.add_argument("--tiles", type=int, nargs="+", default=[256])
+    ap.add_argument("--spa_bwd_tile", type=int, default=None,
+                    help="override the spatial backward tile (default 512)")
     ap.add_argument("--spatial", action="store_true")
+    ap.add_argument("--no_dir", action="store_true",
+                    help="skip the directional kernels")
     args = ap.parse_args()
 
     from nerf_tpu.train.config import PipelineConfig
@@ -66,7 +70,9 @@ def main():
     for tile in args.tiles:
         if args.spatial:
             pos = enc[:, :3]
-            spa = _make_spa_fused(jnp.bfloat16, tile, False, True)
+            bt = args.spa_bwd_tile
+            spa = _make_spa_fused(jnp.bfloat16, tile, False, True,
+                                  bwd_tile=bt)
             timeit_scan(f"spa fwd (tile={tile})", lambda c: jnp.sum(
                 spa(ws_spa, chain(enc, c), pos)[0]), jnp.float32(0))
 
@@ -76,9 +82,14 @@ def main():
                     return jnp.sum(h * 1e-3)
                 gws = jax.grad(loss)(ws_spa)
                 return sum(jnp.sum(x) for x in gws).astype(jnp.float32)
-            timeit_scan(f"spa fwd+bwd (tile={tile})", spa_fb, jnp.float32(0))
+            try:
+                timeit_scan(f"spa fwd+bwd (tile={tile}, bwd={bt or 512})",
+                            spa_fb, jnp.float32(0))
+            except Exception as e:
+                print(f"spa fwd+bwd (tile={tile}, bwd={bt or 512}) FAILED: "
+                      f"{str(e).splitlines()[0][:160]}", file=sys.stderr)
 
-        for rowland in (False, True):
+        for rowland in (() if args.no_dir else (False, True)):
             tag = "rowland" if rowland else "tmajor"
             try:
                 dr = _make_dir_fused(jnp.bfloat16, tile, False, 4, False,
