@@ -9,7 +9,8 @@ cannot fuse into opaque custom-calls, so it ran as ~16 ms of standalone
 elementwise ops.  The lesson: the kernels must subsume the whole fine
 forward.  This module fuses it as TWO kernels split at the tiny (T, 139)
 heads boundary (a single whole-network backward kernel measured 34 MB of
-scoped VMEM against the 16 MB limit):
+scoped VMEM — over even the raised 64 MB/2-buffer practical budget once
+Mosaic double-buffers the streamed blocks):
 
     spatial:      enc -> trunk -> packed heads, plus the density-gradient
                   backward d(sigma)/d(enc) IN the forward kernel (the
@@ -503,11 +504,10 @@ def _make_dir_bwd_kernel(cd, ide_level, use_srgb, rowland):
 
 @functools.lru_cache(maxsize=None)
 def _make_spa_fused(cd, tile, interpret, need_grad, bwd_tile=None):
-    # the backward (recompute + jax.vjp) fits scoped VMEM at 512 and runs
-    # ~13% faster there than at 256 (v5e, round 3 — the round-2 'OOMs at
-    # >=384' note predates the bool-mask relu residuals); the forward is
-    # tile-insensitive
-    bwd_tile = (512 if not interpret else tile) if bwd_tile is None \
+    # backward tile: at least 512 (13% faster than 256, round 3), and with
+    # the raised VMEM ceiling it follows the forward tile up to 1024 (5.56
+    # vs 5.88 ms fwd+bwd at 1024 vs 512, round-3 sweep)
+    bwd_tile = (tile if interpret else max(tile, 512)) if bwd_tile is None \
         else bwd_tile
     fwd_kernel = _make_spa_fwd_kernel(cd, need_grad)
     bwd_kernel = _make_spa_bwd_kernel(cd)
@@ -680,8 +680,9 @@ def make_ref_fused(compute_dtype=jnp.bfloat16, tile: int = 256,
     heads -> (rgb, normal, density) whose VJP emits d(heads).  The heads
     boundary is tiny (139 f32/pt), so unlike an MLP-only fusion nothing big
     materializes between kernels; the split keeps each backward's VMEM
-    live-set inside the 16 MB scoped limit (the single whole-network
-    backward kernel measured 34 MB at tile=512).
+    live-set compilable (the single whole-network backward kernel measured
+    34 MB of scoped VMEM at tile=512; the split kernels run at tile=1024
+    under the raised _VMEM_LIMIT ceiling).
 
     ``noise`` is the bottleneck perturbation, already scaled (zeros for
     eval), ideally drawn in ``compute_dtype`` (its (N, 128) array is the
@@ -691,9 +692,11 @@ def make_ref_fused(compute_dtype=jnp.bfloat16, tile: int = 256,
     detached, utils.py:36).
     """
     cd = compute_dtype
-    # the spatial backward's vjp live set caps its tile at 256 (scoped VMEM);
-    # the row-land directional backward fits 512 and runs fastest there
-    dir_tile = (512 if rowland else tile) if dir_tile is None else dir_tile
+    # with the raised per-kernel VMEM ceiling (_VMEM_LIMIT) tile=1024 fits
+    # BOTH backwards and is fastest (v5e sweep, tools/bench_ref_kernels:
+    # dir rowland fwd+bwd 8.68 ms @512 -> 7.95 @1024; spa 6.22 @256/512 ->
+    # 5.56 @1024/1024, N=198k)
+    dir_tile = (1024 if rowland else tile) if dir_tile is None else dir_tile
     spa = _make_spa_fused(cd, tile, interpret, need_grad)
     dr = _make_dir_fused(cd, dir_tile, interpret, ide_level, use_srgb,
                          rowland)

@@ -123,20 +123,28 @@ def _apply_vanilla(nerf: VanillaNeRF, params, pos, dirs, cfg: PipelineConfig,
     # variant measured 119k vs 131k rays/s at R=1024 — the (T, 3) narrow
     # preamble ops lose more than the enc HBM round trip costs.
     pos = jax.lax.stop_gradient(pos)
-    dirs = jax.lax.stop_gradient(dirs)
     r, p = pos.shape[:2]
     pos_f = pos.reshape(r * p, 3)
-    dirs_f = dirs.reshape(r * p, 3)
-    dirs_n = dirs_f / jnp.linalg.norm(dirs_f, axis=-1, keepdims=True)
     cd = _fused_kernel_args(cfg)[0]
     # cast to the kernel compute dtype AT construction so the convert fuses
     # into the sin fusion instead of being a separate (N, 63) round trip
     enc_x = jnp.concatenate(
         [pos_f, positional_encoding(pos_f, nerf.pos_levels)],
         axis=-1).astype(cd)
-    enc_d = jnp.concatenate(
+    # dirs are per-ray constants broadcast over the P samples (every call
+    # site passes broadcast_to(rays[:, None, 3:])): normalize + PE at the
+    # RAY level ((R, 27) instead of (R*P, 27) — the per-point dir PE complex
+    # cost 0.86 ms of the 7.18 ms step, round-3 trace) and broadcast the
+    # finished encoding. Bit-identical to the per-point form (same input
+    # bits per row -> same outputs).
+    dirs_ray = jax.lax.stop_gradient(dirs[:, 0, :])
+    dirs_n = dirs_ray / jnp.linalg.norm(dirs_ray, axis=-1, keepdims=True)
+    enc_d_ray = jnp.concatenate(
         [dirs_n, positional_encoding(dirs_n, nerf.dir_levels)],
         axis=-1).astype(cd)
+    enc_d = jnp.broadcast_to(
+        enc_d_ray[:, None, :], (r, p, enc_d_ray.shape[-1])
+    ).reshape(r * p, -1)
     fused = ops.make_vanilla_fused(*_fused_kernel_args(cfg))
     rgb, sigma = fused(ops.vanilla_weights_from_params(params), enc_x, enc_d)
     return rgb.reshape(r, p, 3), sigma.reshape(r, p)
@@ -246,8 +254,10 @@ def _ref_fine_forward_allkernel(nerf: RefNeRF, nerf_params, pos, dirs,
 
     ws = (ops.ref_spatial_weights_from_params(nerf_params)
           + ops.ref_directional_weights_from_params(nerf_params))
+    # cfg.pallas_tile (1024) straight through: the old min(tile, 256) spa
+    # cap predated the raised kernel VMEM ceiling (ops/fused_mlp._VMEM_LIMIT)
     fused = ops.make_ref_fused(
-        cd, tile=min(tile, 256), interpret=interpret, need_grad=need_grad,
+        cd, tile=tile, interpret=interpret, need_grad=need_grad,
         ide_level=nerf.ide_level, use_srgb=nerf.use_srgb)
     rgb, density, normal, dgrad = fused(ws, enc, dirs_f, noise, pos=pos_f)
 
