@@ -28,21 +28,27 @@ class VanillaNeRF(nn.Module):
 
     @nn.compact
     def __call__(self, pos: jnp.ndarray, dirs: jnp.ndarray,
-                 enc_x: jnp.ndarray | None = None):
+                 enc_x: jnp.ndarray | None = None,
+                 enc_d: jnp.ndarray | None = None):
         """pos (R, P, 3), dirs (R, P, 3) unnormalized -> (rgb (R,P,3), sigma (R,P)).
 
         sigma is raw (the composite applies relu, nerf_base.py:92 parity).
         ``enc_x`` overrides the internal frequency PE of ``pos`` with a
-        precomputed position feature of the same width (the IPE path).
+        precomputed position feature of the same width (the IPE path);
+        ``enc_d`` likewise overrides the direction feature — callers whose
+        dirs are per-ray constants broadcast over the P samples encode once
+        per RAY and broadcast the finished encoding (bit-identical: same
+        input bits per row -> same outputs; saves the (R*P, 27) PE complex).
         """
-        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
-        enc_d = positional_encoding(dirs, self.dir_levels)
+        if enc_d is None:
+            dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+            enc_d = positional_encoding(dirs, self.dir_levels)
+            if self.cat_origin:
+                enc_d = jnp.concatenate([dirs, enc_d], axis=-1)
         if enc_x is None:
             enc_x = positional_encoding(pos, self.pos_levels)
             if self.cat_origin:
                 enc_x = jnp.concatenate([pos, enc_x], axis=-1)
-        if self.cat_origin:
-            enc_d = jnp.concatenate([dirs, enc_d], axis=-1)
         enc_x = enc_x.astype(self.dtype)
         enc_d = enc_d.astype(self.dtype)
 

@@ -103,6 +103,27 @@ def _vanilla_inputs(nerf: VanillaNeRF, rays, f_z, cfg: PipelineConfig):
     return mu, mu_t, enc_x
 
 
+def _ray_dir_encoding(nerf: VanillaNeRF, dirs):
+    """Per-ray [dirs_n, PE(dirs_n)] broadcast to the per-point shape.
+
+    Valid whenever ``dirs`` is ``broadcast_to(rays[:, None, 3:], ...)`` —
+    every pipeline call site.  Encoding at (R, 27) instead of (R*P, 27) and
+    broadcasting the finished rows is bit-identical (same input bits per
+    row) and removes the per-point dir PE complex (0.86 ms of the 7.18 ms
+    vanilla step, round-3 trace — XLA cannot CSE identical rows it cannot
+    prove identical).
+    """
+    from nerf_tpu.core.encoding import positional_encoding
+
+    dirs_ray = dirs[:, 0, :]
+    dirs_n = dirs_ray / jnp.linalg.norm(dirs_ray, axis=-1, keepdims=True)
+    enc = positional_encoding(dirs_n, nerf.dir_levels)
+    if nerf.cat_origin:
+        enc = jnp.concatenate([dirs_n, enc], axis=-1)
+    r, p = dirs.shape[:2]
+    return jnp.broadcast_to(enc[:, None, :], (r, p, enc.shape[-1]))
+
+
 def _apply_vanilla(nerf: VanillaNeRF, params, pos, dirs, cfg: PipelineConfig,
                    enc_x=None):
     """VanillaNeRF apply — fused Pallas kernel or the flax/XLA oracle.
@@ -112,7 +133,8 @@ def _apply_vanilla(nerf: VanillaNeRF, params, pos, dirs, cfg: PipelineConfig,
     (enc_x given) always uses the flax/XLA oracle.
     """
     if not use_pallas(cfg) or enc_x is not None:
-        return nerf.apply({"params": params}, pos, dirs, enc_x)
+        return nerf.apply({"params": params}, pos, dirs, enc_x,
+                          _ray_dir_encoding(nerf, dirs))
     from nerf_tpu import ops
 
     from nerf_tpu.core.encoding import positional_encoding
@@ -131,20 +153,11 @@ def _apply_vanilla(nerf: VanillaNeRF, params, pos, dirs, cfg: PipelineConfig,
     enc_x = jnp.concatenate(
         [pos_f, positional_encoding(pos_f, nerf.pos_levels)],
         axis=-1).astype(cd)
-    # dirs are per-ray constants broadcast over the P samples (every call
-    # site passes broadcast_to(rays[:, None, 3:])): normalize + PE at the
-    # RAY level ((R, 27) instead of (R*P, 27) — the per-point dir PE complex
-    # cost 0.86 ms of the 7.18 ms step, round-3 trace) and broadcast the
-    # finished encoding. Bit-identical to the per-point form (same input
-    # bits per row -> same outputs).
-    dirs_ray = jax.lax.stop_gradient(dirs[:, 0, :])
-    dirs_n = dirs_ray / jnp.linalg.norm(dirs_ray, axis=-1, keepdims=True)
-    enc_d_ray = jnp.concatenate(
-        [dirs_n, positional_encoding(dirs_n, nerf.dir_levels)],
-        axis=-1).astype(cd)
-    enc_d = jnp.broadcast_to(
-        enc_d_ray[:, None, :], (r, p, enc_d_ray.shape[-1])
-    ).reshape(r * p, -1)
+    # ray-level dir encoding broadcast over the P samples (see
+    # _ray_dir_encoding); cast to the kernel compute dtype so the convert
+    # fuses into the PE sin fusion
+    enc_d = _ray_dir_encoding(
+        nerf, jax.lax.stop_gradient(dirs)).astype(cd).reshape(r * p, -1)
     fused = ops.make_vanilla_fused(*_fused_kernel_args(cfg))
     rgb, sigma = fused(ops.vanilla_weights_from_params(params), enc_x, enc_d)
     return rgb.reshape(r, p, 3), sigma.reshape(r, p)
@@ -397,7 +410,8 @@ def _mip_pass(nerf, nerf_params, rays, edges, cfg: PipelineConfig,
     feat, mu, mu_t = ipe_feature(edges, rays, nerf.pos_levels, cfg.ipe_radius)
     enc_x = jnp.concatenate([mu, feat], axis=-1) if nerf.cat_origin else feat
     dirs = jnp.broadcast_to(rays[:, None, 3:], mu.shape)
-    rgb, sigma = nerf.apply({"params": nerf_params}, mu, dirs, enc_x)
+    rgb, sigma = nerf.apply({"params": nerf_params}, mu, dirs, enc_x,
+                            _ray_dir_encoding(nerf, dirs))
     out = render_lib.composite(
         rgb, sigma, mu_t, rays[:, 3:], white_bkg=white_bkg,
         depth_bounds=(cfg.near, cfg.far) if render_depth else None,
