@@ -184,6 +184,10 @@ class Trainer:
         # --- compiled step/epoch programs ------------------------------------
         self._fns = {}
         self.epoch_start = 0
+        # host mirror of state.step: scalar device reads through the axon
+        # tunnel cost ~0.4 s EACH (round-3 cProfile of the epoch loop), so
+        # the loop must never ask the device what step it is on
+        self._host_step = 0
         # ops shell
         self.ckpt = CheckpointManager(
             os.path.join(args.ckpt_dir, args.dataset_name),
@@ -192,6 +196,7 @@ class Trainer:
             restored = self.ckpt.restore(target=self.state)
             if restored is not None:
                 self.state, step, self.epoch_start = restored
+                self._host_step = int(step)
                 if self.mesh is not None:
                     # restored leaves are host numpy; multi-process jit over a
                     # global mesh rejects them — re-stage as global arrays
@@ -341,16 +346,36 @@ class Trainer:
 
         return replicate_tree(self.state, self.mesh)
 
+    def _lr_at(self, step: int) -> float:
+        """Learning rate at ``step``, from a host-resident table.
+
+        Evaluating ``self.schedule`` eagerly dispatches a device program —
+        ~0.4 s through the axon tunnel, and _log_epoch_metrics needs it
+        steps/eval_time times per epoch (round-3 cProfile: these dispatches
+        were ~1.7 s/epoch of the CLI's wall clock, a 2.4x end-to-end slowdown
+        at the full reference budget).  One vmap'd evaluation materializes
+        the whole run's schedule up front (~1 MB at 240k steps)."""
+        tbl = getattr(self, "_lr_tbl", None)
+        if tbl is None or step >= tbl.shape[0]:
+            n = max(step + 1,
+                    self.args.epochs * max(1, len(self.train_set)) + 1)
+            tbl = np.asarray(jax.jit(jax.vmap(self.schedule))(
+                jnp.arange(n, dtype=jnp.int32)))
+            self._lr_tbl = tbl
+        return float(tbl[step])
+
     # --- logging --------------------------------------------------------------
-    def _log_epoch_metrics(self, metrics, steps: int, step_base: int):
-        loss = np.asarray(metrics["loss"])
-        psnr = np.asarray(metrics["psnr"])
+    def _log_epoch_metrics(self, metrics_np, steps: int, step_base: int):
+        """``metrics_np`` must already be host arrays (one device_get per
+        epoch in the train loop — per-scalar fetches are ~0.4 s each on the
+        axon tunnel)."""
+        loss = metrics_np["loss"]
+        psnr = metrics_np["psnr"]
         for i in range(0, steps, max(1, self.args.eval_time)):
             step = step_base + i
             self.writer.add_scalar("Train Loss", loss[i], step)
             self.writer.add_scalar("PSNR", psnr[i], step)
-            self.writer.add_scalar("Learning Rate",
-                                   float(self.schedule(step)), step)
+            self.writer.add_scalar("Learning Rate", self._lr_at(step), step)
 
     def _eval_and_checkpoint(self, ep: int):
         self.eval_timer.tic()
@@ -378,7 +403,7 @@ class Trainer:
                 panels.append(d / max(float(d.max()), 1e-8))
         self.eval_timer.toc()
         test_loss /= len(self.test_view_ids)
-        step = int(self.state.step)
+        step = self._host_step
         # every process renders (cheap, matches ddp_train.py:264-283); the
         # collective state gather below needs all processes too — only the
         # file writes are rank-0-gated
@@ -403,7 +428,7 @@ class Trainer:
         """One epoch; returns (steps_run, stacked metrics)."""
         idx = self._epoch_indices(ep)
         steps = idx.shape[0]
-        step0 = int(self.state.step)
+        step0 = self._host_step
         cci = self.args.center_crop_iter
         if self.mesh is None:
             idx_dev = jnp.asarray(idx)
@@ -422,11 +447,12 @@ class Trainer:
             collected = []
             state = self.state
             for i in range(steps):
-                fn = self._step_fn(cropped=int(state.step) < cci)
+                fn = self._step_fn(cropped=step0 + i < cci)
                 state, m = fn(state, self.pool, self.poses, idx_dev[i])
                 collected.append(m)
             self.state = state
             metrics = jax.tree.map(lambda *xs: jnp.stack(xs), *collected)
+        self._host_step = step0 + steps
         return steps, metrics
 
     def train(self):
@@ -490,7 +516,7 @@ class Trainer:
         for ep in range(self.epoch_start, args.epochs):
             self._ep = ep
             self.train_timer.tic()
-            step_base = int(self.state.step)
+            step_base = self._host_step
             if trace_dir is not None and ep == self.epoch_start + 1:
                 # trace the second epoch: past compilation, steady state
                 with jax.profiler.trace(trace_dir):
@@ -515,7 +541,10 @@ class Trainer:
                         print(f"cooperative checkpoint at step {step} -> {path}")
                 raise SystemExit(128 + self._stop_signal)
 
-            self._log_epoch_metrics(metrics, steps, step_base)
+            # ONE host<->device round trip for the epoch's metrics (the
+            # per-scalar alternative costs ~0.4 s per fetch on this tunnel)
+            metrics_np = jax.device_get(metrics)
+            self._log_epoch_metrics(metrics_np, steps, step_base)
 
             if self.mode == "ma" and self.ma_epoch and \
                     (ep + 1) % self.ma_epoch == 0:
@@ -526,9 +555,9 @@ class Trainer:
                 self.writer.add_scalar("Time/communication",
                                        time.perf_counter() - t0, ep)
 
-            loss = float(np.asarray(metrics["loss"])[-1])
-            psnr = float(np.asarray(metrics["psnr"])[-1])
-            lr_now = float(self.schedule(int(self.state.step)))
+            loss = float(metrics_np["loss"][-1])
+            psnr = float(metrics_np["psnr"][-1])
+            lr_now = self._lr_at(self._host_step)
             # every device (data AND replica axes) trains ray_batch rays/step
             n_dev = self.n_data * self.n_replica
             rays_s = steps * n_dev * self.cfg.ray_batch / max(dt, 1e-9)

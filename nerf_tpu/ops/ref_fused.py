@@ -392,13 +392,18 @@ def _make_spa_fwd_kernel(cd, need_grad):
             # finish IN-kernel: PE transpose (dPE^T g = (g*cos(pos@W+b))@W^T)
             # + row-land normalize/negate.  The external version cost ~1.2
             # ms/step of HBM passes over (N, 63) denc + a retained f32 PE
-            # (round-3 trace, multiply_reduce_fusion.16)
-            def density_of(e):
-                rho_tau, _, _ = _spa_pure(ws, e, cd)
-                return rho_tau[:, 1:2]
-
-            _, vjp_fn = jax.vjp(density_of, enc)
-            (denc,) = vjp_fn(jnp.ones((enc.shape[0], 1), F32))
+            # (round-3 trace, multiply_reduce_fusion.16).  ONE shared vjp
+            # over the full _spa_pure: primal outputs come from the same
+            # linearization that yields denc (a density-only vjp next to a
+            # second _spa_pure call was a third trunk pass per tile —
+            # zero-cotangent head matmuls are far cheaper).
+            t = enc.shape[0]
+            (rho_tau, nct, bn), vjp_fn = jax.vjp(
+                lambda e: _spa_pure(ws, e, cd), enc)
+            (denc,) = vjp_fn((
+                jnp.concatenate([jnp.zeros((t, 1), F32),
+                                 jnp.ones((t, 1), F32)], axis=1),
+                jnp.zeros_like(nct), jnp.zeros_like(bn)))
             pos, pew = pos_ref[:], pew_ref[:]
             proj = jax.lax.dot_general(
                 pos, pew, (((1,), (0,)), ((), ())),
@@ -409,8 +414,8 @@ def _make_spa_fwd_kernel(cd, need_grad):
             gT = g.T  # row-land: the (T, 3) norm chain at full lanes
             norm = jnp.sqrt(jnp.sum(gT * gT, axis=0, keepdims=True))
             outs[1][:] = (-(gT / jnp.maximum(1e-5, norm))).T
-
-        rho_tau, nct, bn = _spa_pure(ws, enc, cd)
+        else:
+            rho_tau, nct, bn = _spa_pure(ws, enc, cd)
         outs[0][:] = jnp.concatenate([rho_tau, nct, bn], axis=1)
 
     return kernel

@@ -228,6 +228,20 @@ def _proposal_weights(prop: ProposalNetwork, prop_params, rays, c_z, cfg,
 # fine stage
 # ---------------------------------------------------------------------------
 
+def _rbg_noise_key(key):
+    """Re-wrap a (possibly legacy uint32) threefry key as an rbg key.
+
+    jax.random draws under the rbg impl lower to RngBitGenerator — the
+    TPU-native PRNG — instead of a threefry hash program (~0.6 ms/step for
+    the (N, 128) bottleneck noise, round-3 trace).  Deterministic in the
+    input key; used only where the realization (not the stream) matters.
+    """
+    kd = (key if jnp.issubdtype(key.dtype, jnp.integer)
+          else jax.random.key_data(key))
+    return jax.random.wrap_key_data(
+        jnp.concatenate([kd, kd]).astype(jnp.uint32), impl="rbg")
+
+
 def _ref_fine_forward_allkernel(nerf: RefNeRF, nerf_params, pos, dirs,
                                 noise_key, train: bool, need_grad: bool,
                                 cfg: PipelineConfig):
@@ -259,9 +273,14 @@ def _ref_fine_forward_allkernel(nerf: RefNeRF, nerf_params, pos, dirs,
         axis=-1).astype(cd)
     if train and noise_key is not None and nerf.perturb_bottleneck > 0:
         # cd draw: the (N, 128) noise is the largest kernel operand; f32
-        # cost 100 MB/step of threefry+materialize (0.8 ms, round-3 trace)
+        # cost 100 MB/step of threefry+materialize (0.8 ms, round-3 trace).
+        # rbg impl: the threefry hash itself was another ~0.6 ms/step of VPU
+        # work — RngBitGenerator lowers to the TPU-native PRNG.  The rbg key
+        # is derived from noise_key per step, so the draw stays deterministic
+        # in (seed, step); only the realization differs from the oracle flax
+        # path, which already draws a different stream (module make_rng).
         noise = nerf.perturb_bottleneck * jax.random.normal(
-            noise_key, (n, nerf.bottleneck_dim), dtype=cd)
+            _rbg_noise_key(noise_key), (n, nerf.bottleneck_dim), dtype=cd)
     else:
         noise = jnp.zeros((n, nerf.bottleneck_dim), cd)
 

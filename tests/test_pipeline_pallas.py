@@ -82,3 +82,35 @@ def test_ref_allkernel_pipeline_matches_xla():
             np.testing.assert_allclose(
                 b, a, rtol=5e-4, atol=2e-6,
                 err_msg=f"{mode}:{jax.tree_util.keystr(kp)}")
+
+
+def test_ref_kernel_noise_rbg_deterministic():
+    """The all-kernel path's bottleneck noise is drawn with the rbg PRNG
+    (pipeline.py:_ref_fine_forward_allkernel — RngBitGenerator is the
+    TPU-native generator; threefry cost ~0.6 ms/step).  Pin the contract:
+    deterministic in the step key, varying across keys, and ~N(0, noise_std)
+    at the distribution level."""
+    cfg = PipelineConfig(model="ref", ray_batch=8, n_coarse=8, n_fine=8,
+                         nerf_width=32, prop_width=32, use_bf16=False,
+                         pallas_tile=64, bottleneck_noise=0.02,
+                         use_pallas=True, ref_kernels="all")
+    models = make_models(cfg)
+    params = init_variables(cfg, jax.random.PRNGKey(0))
+    rays = jnp.concatenate(
+        [jnp.zeros((8, 3)), jax.random.normal(jax.random.PRNGKey(1), (8, 3))],
+        axis=-1)
+    rgb_gt = jax.random.uniform(jax.random.PRNGKey(2), (8, 3))
+
+    def loss(k):
+        return compute_loss(models, params, rays, rgb_gt, k, cfg)[0]
+
+    l0a, l0b = loss(jax.random.PRNGKey(3)), loss(jax.random.PRNGKey(3))
+    l1 = loss(jax.random.PRNGKey(4))
+    np.testing.assert_array_equal(l0a, l0b)
+    assert not np.allclose(l0a, l1), "noise must vary with the step key"
+
+    from nerf_tpu.train.pipeline import _rbg_noise_key
+    k = jax.random.PRNGKey(5)
+    noise = jax.random.normal(_rbg_noise_key(k), (4096, 128))
+    assert abs(float(noise.mean())) < 0.05
+    assert abs(float(noise.std()) - 1.0) < 0.05
