@@ -48,6 +48,30 @@ from nerf_tpu.ops.fused_mlp import (
     F32, _VMEM_LIMIT, _full_spec, _pad_rows, _row_spec,
 )
 
+
+def _pad_cols(a, tile):
+    """Pad dim 1 of a (rows, N) array up to a tile multiple."""
+    pad = (-a.shape[1]) % tile
+    if pad:
+        a = jnp.concatenate(
+            [a, jnp.zeros((a.shape[0], pad), a.dtype)], axis=1)
+    return a
+
+
+def _col_spec(rows, tile):
+    """Block over COLUMNS: (rows, tile) blocks of a (rows, N) array.
+
+    Row-land kernel outputs (normals as (3, N)) use this so the per-point
+    3-vector chains downstream of the kernels run with points along lanes —
+    an (N, 3) f32 array under the T(8,128) tiling occupies 3 of 128 lanes,
+    and the round-3 trace showed the normal-loss glue paying 21x its
+    roofline for it.
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pl.BlockSpec((rows, tile), lambda i: (0, i),
+                        memory_space=pltpu.VMEM)
+
 # spatial weight tuple (kernels (in, out); biases (1, out)):
 #  0: w0  (Dx, H)   spa_block1 L0          1: b0
 #  2: w1  (H, H)                            3: b1
@@ -263,7 +287,7 @@ def _dir_glue_pure(ws_dir, heads, noise, dirs, mat, sigma, cd,
                          + jax.nn.sigmoid(diffuse - float(np.log(3.0))))
     else:
         rgb = specular + jax.nn.sigmoid(diffuse)
-    return rgb, normal
+    return rgb, normal.T  # match the row-land (3, T) normal interface
 
 
 def _ide_pure_rowland(xyzT, kappa_invT, mat, sigma_col, l_max):
@@ -372,7 +396,7 @@ def _dir_glue_pure_rowland(ws_dir, heads, noise, dirsT, mat, sigma_col, cd,
                          + jax.nn.sigmoid(heads[:, 5:8] - float(np.log(3.0))))
     else:
         rgb = specular + jax.nn.sigmoid(heads[:, 5:8])
-    return rgb, normalT.T
+    return rgb, normalT  # normal stays ROW-LAND (3, T) through the boundary
 
 
 SPA_HEAD_DIM = 2 + 9 + 128
@@ -413,7 +437,7 @@ def _make_spa_fwd_kernel(cd, need_grad):
                 (((1,), (1,)), ((), ())), preferred_element_type=F32)
             gT = g.T  # row-land: the (T, 3) norm chain at full lanes
             norm = jnp.sqrt(jnp.sum(gT * gT, axis=0, keepdims=True))
-            outs[1][:] = (-(gT / jnp.maximum(1e-5, norm))).T
+            outs[1][:] = -(gT / jnp.maximum(1e-5, norm))  # stays (3, T)
         else:
             rho_tau, nct, bn = _spa_pure(ws, enc, cd)
         outs[0][:] = jnp.concatenate([rho_tau, nct, bn], axis=1)
@@ -444,23 +468,27 @@ def _make_spa_bwd_kernel(cd):
     return kernel
 
 
-def _dir_forward(ws, heads, noise, dirs, mat, sigma, cd, l_max, use_srgb,
+def _dir_forward(ws, heads, noise, dirs3, mat, sigma, cd, l_max, use_srgb,
                  rowland):
     """Dispatch between the T-major and row-land glue variants.
 
-    Returns (rgb, normal, density) — density is a PASSTHROUGH of
-    heads[:, 1].  Routing it through this function makes jax.vjp fold the
-    density cotangent into dheads column 1 inside the backward kernel; the
-    external alternative was a 219 MB/step pad+add combining the
-    (N, 139) dheads with the density column (round-3 trace).
+    ``dirs3`` is ROW-LAND (3, T); returns (rgb (T, 3), normal3 (3, T),
+    density (T, 1)) — normals stay ROW-LAND so the external normal-loss
+    glue runs at full lane occupancy (an (N, 3) f32 layout uses 3/128
+    lanes; the loss fusions paid 21x roofline for it, round-3 trace).
+    density is a PASSTHROUGH of heads[:, 1].  Routing it through this
+    function makes jax.vjp fold the density cotangent into dheads column 1
+    inside the backward kernel; the external alternative was a 219 MB/step
+    pad+add combining the (N, 139) dheads with the density column
+    (round-3 trace).
     """
     if rowland:
-        rgb, normal = _dir_glue_pure_rowland(ws, heads, noise, dirs.T, mat,
-                                             sigma.T, cd, l_max, use_srgb)
+        rgb, normal3 = _dir_glue_pure_rowland(ws, heads, noise, dirs3, mat,
+                                              sigma.T, cd, l_max, use_srgb)
     else:
-        rgb, normal = _dir_glue_pure(ws, heads, noise, dirs, mat, sigma, cd,
-                                     l_max, use_srgb)
-    return rgb, normal, heads[:, 1:2]
+        rgb, normal3 = _dir_glue_pure(ws, heads, noise, dirs3.T, mat, sigma,
+                                      cd, l_max, use_srgb)
+    return rgb, normal3, heads[:, 1:2]
 
 
 def _make_dir_fwd_kernel(cd, ide_level, use_srgb, rowland):
@@ -468,11 +496,12 @@ def _make_dir_fwd_kernel(cd, ide_level, use_srgb, rowland):
 
     def kernel(heads_ref, noise_ref, dirs_ref, mat_ref, sigma_ref, *rest):
         ws = tuple(r[:] for r in rest[:N_REF_DIR_WS])
-        out_ref = rest[N_REF_DIR_WS]
-        rgb, normal, density = _dir_forward(
+        out_ref, nrm_ref = rest[N_REF_DIR_WS], rest[N_REF_DIR_WS + 1]
+        rgb, normal3, density = _dir_forward(
             ws, heads_ref[:], noise_ref[:], dirs_ref[:], mat_ref[:],
             sigma_ref[:], cd, l_max, use_srgb, rowland)
-        out_ref[:] = jnp.concatenate([rgb, normal, density], axis=1)  # (T, 7)
+        out_ref[:] = jnp.concatenate([rgb, density], axis=1)  # (T, 4)
+        nrm_ref[:] = normal3                                  # (3, T)
 
     return kernel
 
@@ -482,6 +511,7 @@ def _make_dir_bwd_kernel(cd, ide_level, use_srgb, rowland):
 
     def kernel(heads_ref, noise_ref, dirs_ref, grgb_ref, gnrm_ref, gden_ref,
                mat_ref, sigma_ref, *rest):
+        # gnrm_ref is ROW-LAND (3, T), matching _dir_forward's normal output
         wrefs = rest[:N_REF_DIR_WS]
         dheads_ref = rest[N_REF_DIR_WS]
         grads = rest[N_REF_DIR_WS + 1:]
@@ -536,8 +566,8 @@ def _make_spa_fused(cd, tile, interpret, need_grad, bwd_tile=None):
             pe_w, pe_b = _pe_tables(levels, 3)
             extra = (_pad_rows(pos.astype(F32), tile),
                      jnp.asarray(pe_w), jnp.asarray(pe_b).reshape(1, -1))
-            out_specs.append(_row_spec(tile, 3))
-            out_shape.append(jax.ShapeDtypeStruct((x.shape[0], 3), F32))
+            out_specs.append(_col_spec(3, tile))  # dgrad ROW-LAND (3, N)
+            out_shape.append(jax.ShapeDtypeStruct((3, x.shape[0]), F32))
         outs = pl.pallas_call(
             fwd_kernel,
             grid=grid,
@@ -550,14 +580,14 @@ def _make_spa_fused(cd, tile, interpret, need_grad, bwd_tile=None):
             interpret=interpret,
             compiler_params=_VMEM_LIMIT,
         )(x, *extra, *wsc)
-        dgrad = outs[1][:n] if need_grad else None
+        dgrad = outs[1][:, :n] if need_grad else None
         return outs[0][:n], dgrad
 
     @jax.custom_vjp
     def fused(ws, enc, pos):
         heads, dgrad = _fwd_impl(ws, enc, pos)
         if dgrad is None:
-            dgrad = jnp.zeros((enc.shape[0], 3), F32)
+            dgrad = jnp.zeros((3, enc.shape[0]), F32)
         return heads, dgrad
 
     def fused_fwd(ws, enc, pos):
@@ -585,7 +615,7 @@ def _make_spa_fused(cd, tile, interpret, need_grad, bwd_tile=None):
         return dws, jnp.zeros_like(enc), jnp.zeros((enc.shape[0], 3), F32)
 
     fused.defvjp(fused_fwd, fused_bwd)
-    return fused
+    return fused  # NOTE: dgrad output is ROW-LAND (3, N)
 
 
 @functools.lru_cache(maxsize=None)
@@ -601,31 +631,36 @@ def _make_dir_fused(cd, tile, interpret, ide_level, use_srgb,
         return tuple(w.astype(F32) if w.shape[0] == 1 else w.astype(cd)
                      for w in ws)
 
-    def _stage(heads, noise, dirs):
+    def _stage(heads, noise, dirs3):
         # noise stays in its incoming dtype (bf16 noise halves the largest
-        # HBM operand of both kernels; the caller draws it in cd)
+        # HBM operand of both kernels; the caller draws it in cd).  dirs
+        # arrive ROW-LAND (3, N): staging an (N, 3) f32 operand cost 0.23
+        # ms/step at 3/128 lanes (round-3 trace, fusion.565), and the
+        # caller's dirs are per-ray constants that broadcast to (3, N)
+        # without ever materializing the (N, 3) form.
         return (_pad_rows(heads.astype(F32), tile),
                 _pad_rows(noise, tile),
-                _pad_rows(dirs.astype(F32), tile))
+                _pad_cols(dirs3.astype(F32), tile))
 
     def _fwd_impl(ws, heads, noise, dirs):
         n = heads.shape[0]
         wsc = _prep(ws)
         h, nz, d = _stage(heads, noise, dirs)
         grid = (h.shape[0] // tile,)
-        out = pl.pallas_call(
+        out, nrm = pl.pallas_call(
             fwd_kernel,
             grid=grid,
             in_specs=[_row_spec(tile, h.shape[1]),
-                      _row_spec(tile, nz.shape[1]), _row_spec(tile, 3),
+                      _row_spec(tile, nz.shape[1]), _col_spec(3, tile),
                       _full_spec(ide_mat.shape), _full_spec(ide_sigma.shape)]
             + [_full_spec(w.shape) for w in wsc],
-            out_specs=_row_spec(tile, 7),
-            out_shape=jax.ShapeDtypeStruct((h.shape[0], 7), F32),
+            out_specs=(_row_spec(tile, 4), _col_spec(3, tile)),
+            out_shape=(jax.ShapeDtypeStruct((h.shape[0], 4), F32),
+                       jax.ShapeDtypeStruct((3, h.shape[0]), F32)),
             interpret=interpret,
             compiler_params=_VMEM_LIMIT,
         )(h, nz, d, ide_mat, ide_sigma, *wsc)
-        return out[:n, 0:3], out[:n, 3:6], out[:n, 6]
+        return out[:n, 0:3], nrm[:, :n], out[:n, 3]
 
     @jax.custom_vjp
     def fused(ws, heads, noise, dirs):
@@ -636,20 +671,20 @@ def _make_dir_fused(cd, tile, interpret, ide_level, use_srgb,
 
     def fused_bwd(res, g):
         ws, heads, noise, dirs = res
-        g_rgb, g_normal, g_density = g
+        g_rgb, g_normal, g_density = g  # g_normal arrives ROW-LAND (3, N)
         n = heads.shape[0]
         wsc = _prep(ws)
         h, nz, d = _stage(heads, noise, dirs)
         grgb = _pad_rows(g_rgb.astype(F32), tile)
-        gnrm = _pad_rows(g_normal.astype(F32), tile)
+        gnrm = _pad_cols(g_normal.astype(F32), tile)
         gden = _pad_rows(g_density.astype(F32).reshape(n, 1), tile)
         grid = (h.shape[0] // tile,)
         outs = pl.pallas_call(
             bwd_kernel,
             grid=grid,
             in_specs=[_row_spec(tile, h.shape[1]),
-                      _row_spec(tile, nz.shape[1]), _row_spec(tile, 3),
-                      _row_spec(tile, 3), _row_spec(tile, 3),
+                      _row_spec(tile, nz.shape[1]), _col_spec(3, tile),
+                      _row_spec(tile, 3), _col_spec(3, tile),
                       _row_spec(tile, 1),
                       _full_spec(ide_mat.shape), _full_spec(ide_sigma.shape)]
             + [_full_spec(w.shape) for w in wsc],
@@ -675,9 +710,15 @@ def make_ref_fused(compute_dtype=jnp.bfloat16, tile: int = 256,
                    rowland: bool = True, dir_tile: int = None):
     """Fused whole-Ref-NeRF fine forward, split at the heads boundary.
 
-    (ws, enc (N, Dx), dirs (N, 3), noise (N, 128), pos (N, 3)) ->
-      (rgb (N, 3) f32, density (N,) f32, normal (N, 3) f32,
-       density_grad (N, 3) f32 or None)
+    (ws, enc (N, Dx), dirs3 (3, N), noise (N, 128), pos (N, 3)) ->
+      (rgb (N, 3) f32, density (N,) f32, normal (3, N) f32 ROW-LAND,
+       density_grad (3, N) f32 ROW-LAND or None)
+
+    The normal outputs (and the pred-normal cotangent input) and the dirs
+    INPUT are (3, N): the downstream loss glue and the dirs staging on
+    (N, 3) f32 arrays ran at 3/128 lane occupancy (21x roofline, round-3
+    trace); (3, N) keeps points along lanes end to end, and the caller's
+    per-ray dirs broadcast into (3, N) without materializing (N, 3).
 
     Two kernels: spatial trunk -> packed heads (N, 139) [+ the COMPLETE
     density-gradient normal target: in-kernel d(sigma)/d(enc) vjp, PE

@@ -54,6 +54,31 @@ def backface_loss(weights: jnp.ndarray, normal: jnp.ndarray,
     return jnp.mean(weights * jax.nn.relu(jnp.sum(normal * ray_d, axis=-1)))
 
 
+def weighted_normal_loss_rl(weights: jnp.ndarray, d_norm3: jnp.ndarray,
+                            p_norm3: jnp.ndarray,
+                            size_average: bool = True) -> jnp.ndarray:
+    """weighted_normal_loss with ROW-LAND normals: (3, R, P) inputs.
+
+    Same math, dot over dim 0.  On TPU an (R, P, 3) f32 array tiles its
+    last two dims to (8, 128) — 3 of 128 lanes live — so the elementwise
+    loss chains paid ~21x their HBM roofline (round-3 trace,
+    multiply_reduce_fusion.16); the (3, R, P) layout runs them at full
+    lanes.  The TPU-default ref pipeline emits normals in this layout.
+    """
+    dot_diff = 1.0 - jnp.sum(d_norm3 * p_norm3, axis=0)
+    val = weights * dot_diff
+    return jnp.mean(val) if size_average else jnp.sum(val)
+
+
+def backface_loss_rl(weights: jnp.ndarray, normal3: jnp.ndarray,
+                     ray_d: jnp.ndarray) -> jnp.ndarray:
+    """backface_loss with ROW-LAND normals (3, R, P) and PER-RAY view dirs
+    (R, 3) — the dirs are constant over a ray's samples, so the (R, P, 3)
+    broadcast the reference materializes is never built."""
+    dot = jnp.sum(normal3 * ray_d.T[:, :, None], axis=0)
+    return jnp.mean(weights * jax.nn.relu(dot))
+
+
 def reference_distortion_loss(weights: jnp.ndarray, fine_ts: jnp.ndarray) -> jnp.ndarray:
     """The reference's Regularizer exactly as written (addtional.py:26-36).
 

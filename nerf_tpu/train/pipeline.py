@@ -263,7 +263,14 @@ def _ref_fine_forward_allkernel(nerf: RefNeRF, nerf_params, pos, dirs,
     r, p = pos.shape[:2]
     n = r * p
     pos_f = jax.lax.stop_gradient(pos).reshape(n, 3)
-    dirs_f = jax.lax.stop_gradient(dirs).reshape(n, 3)
+    # dirs are per-ray constants broadcast over the P samples (every call
+    # site passes broadcast_to(rays[:, None, 3:])): build the kernel's
+    # ROW-LAND (3, N) dirs from the (R, 3) originals so the (N, 3) form —
+    # whose staging ran at 3/128 lanes (0.23 ms/step, round-3 trace) —
+    # never materializes
+    dirs_ray = jax.lax.stop_gradient(dirs[:, 0, :])
+    dirs3 = jnp.broadcast_to(
+        dirs_ray.T[:, :, None], (3, r, p)).reshape(3, n)
     # cast at construction: the convert fuses into the PE sin fusion and the
     # custom-vjp residual is the cd array — an f32 enc residual cost an extra
     # 47 MB/step materialization (round-3 trace); matches the flax path's
@@ -291,13 +298,15 @@ def _ref_fine_forward_allkernel(nerf: RefNeRF, nerf_params, pos, dirs,
     fused = ops.make_ref_fused(
         cd, tile=tile, interpret=interpret, need_grad=need_grad,
         ide_level=nerf.ide_level, use_srgb=nerf.use_srgb)
-    rgb, density, normal, dgrad = fused(ws, enc, dirs_f, noise, pos=pos_f)
+    rgb, density, normal3, dgrad3 = fused(ws, enc, dirs3, noise, pos=pos_f)
 
+    # normals stay ROW-LAND (3, R, P) out to the losses — see
+    # _ref_fine_forward's contract note
     density_grad = None
     if need_grad:
-        density_grad = jax.lax.stop_gradient(dgrad).reshape(r, p, 3)
+        density_grad = jax.lax.stop_gradient(dgrad3).reshape(3, r, p)
     return (rgb.astype(jnp.float32).reshape(r, p, 3), density.reshape(r, p),
-            normal.astype(jnp.float32).reshape(r, p, 3), density_grad)
+            normal3.astype(jnp.float32).reshape(3, r, p), density_grad)
 
 
 def _ref_fine_forward_fused(nerf: RefNeRF, nerf_params, pos, dirs, noise_key,
@@ -336,7 +345,7 @@ def _ref_fine_forward_fused(nerf: RefNeRF, nerf_params, pos, dirs, noise_key,
 
     density_grad = None
     if need_grad:
-        density_grad = jax.lax.stop_gradient(dgrad).reshape(r, p, 3)
+        density_grad = jax.lax.stop_gradient(dgrad).reshape(3, r, p)
 
     # spatial post-processing identical to RefNeRF.spatial
     # (models/refnerf.py:79-92), then the flax directional branch — it
@@ -359,8 +368,9 @@ def _ref_fine_forward_fused(nerf: RefNeRF, nerf_params, pos, dirs, noise_key,
     rngs = {"noise": noise_key} if (train and noise_key is not None) else None
     rgb = nerf.apply({"params": nerf_params}, spatial_out, dirs, train,
                      method=RefNeRF.directional, rngs=rngs)
-    return (rgb, raw_density.reshape(r, p),
-            normal.astype(jnp.float32).reshape(r, p, 3), density_grad)
+    normal3 = jnp.moveaxis(
+        normal.astype(jnp.float32).reshape(r, p, 3), -1, 0)
+    return rgb, raw_density.reshape(r, p), normal3, density_grad
 
 
 def _ref_fine_forward(nerf: RefNeRF, nerf_params, pos, dirs, noise_key,
@@ -380,6 +390,11 @@ def _ref_fine_forward(nerf: RefNeRF, nerf_params, pos, dirs, noise_key,
     (not second_order), the fused-kernel path runs instead (valid: sampled
     positions carry no parameter gradient, and the density gradient is a
     constant the spatial kernel computes in its own forward).
+
+    Contract: pred_normal and density_grad return ROW-LAND, shape
+    (3, R, P).  The (R, P, 3) layout puts the loss glue at 3/128 lane
+    occupancy on TPU (21x roofline, round-3 trace); every variant of this
+    function emits (3, R, P) so the losses stay at full lanes.
     """
     # Fused-kernel dispatch (auto: ON on TPU backends, like the vanilla
     # path).  History: round-2's MLP-only kernels LOST to XLA (29.6k vs
@@ -402,7 +417,7 @@ def _ref_fine_forward(nerf: RefNeRF, nerf_params, pos, dirs, noise_key,
         raw_density, vjp_fn, spa = jax.vjp(spatial_fn, pos, has_aux=True)
         (g,) = vjp_fn(jnp.ones_like(raw_density))
         g_norm = jnp.linalg.norm(g, axis=-1, keepdims=True)
-        density_grad = -(g / jnp.maximum(1e-5, g_norm))
+        density_grad = jnp.moveaxis(-(g / jnp.maximum(1e-5, g_norm)), -1, 0)
         if not second_order:
             density_grad = jax.lax.stop_gradient(density_grad)
     else:
@@ -414,7 +429,8 @@ def _ref_fine_forward(nerf: RefNeRF, nerf_params, pos, dirs, noise_key,
         {"params": nerf_params}, spa, dirs, train,
         method=RefNeRF.directional, rngs=rngs,
     )
-    return rgb, raw_density, spa["normal"], density_grad
+    return (rgb, raw_density, jnp.moveaxis(spa["normal"], -1, 0),
+            density_grad)
 
 
 def _mip_pass(nerf, nerf_params, rays, edges, cfg: PipelineConfig,
@@ -505,9 +521,12 @@ def render_rays_train(models, variables, rays, key, cfg: PipelineConfig,
             fine_rgb=fine_rgb,
             weights=weights,
             bounds_idx=idx_full,
+            # (3, R, P) row-land; see _ref_fine_forward's contract note
             pred_normal=pred_normal,
             density_grad=density_grad,
-            fine_dirs=dirs,
+            # per-RAY view dirs (R, 3): the backface loss broadcasts them
+            # over the P samples itself (dirs was their broadcast anyway)
+            fine_dirs=rays[:, 3:],
             coarse_pos=coarse_pos,
             z_merged=z_merged,
         )
@@ -574,10 +593,13 @@ def render_rays_eval(models, variables, rays, key, cfg: PipelineConfig,
         z_vals, _, _ = sampling.merge_coarse_fine(c_z, f_z)
         pos = render_lib.lengths_to_points(rays, z_vals)
         dirs = jnp.broadcast_to(rays[:, None, 3:], pos.shape)
-        rgb, raw_density, normal, _ = _ref_fine_forward(
+        rgb, raw_density, normal3, _ = _ref_fine_forward(
             nerf, variables["nerf"], pos, dirs, None, train=False,
             need_grad=False, cfg=cfg
         )
+        # composite's normal-map extra wants (R, P, 3); eval renders one
+        # frame so the transpose is noise
+        normal = jnp.moveaxis(normal3, 0, -1)
         density = jax.nn.softplus(raw_density + 0.5)  # procedures.py:74 parity
         act = lambda x: x
     else:

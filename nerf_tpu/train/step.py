@@ -86,10 +86,13 @@ def compute_loss(models, params, rays, rgb_gt, key, cfg: PipelineConfig,
                    "psnr": losses.mse_to_psnr(img_loss)}
 
     if cfg.model == "ref":
-        normal_loss = losses.weighted_normal_loss(
-            out["weights"], out["density_grad"], out["pred_normal"], size_average=True
+        # pred_normal/density_grad arrive ROW-LAND (3, R, P) and fine_dirs
+        # per-ray (R, 3) — see _ref_fine_forward's contract note
+        normal_loss = losses.weighted_normal_loss_rl(
+            out["weights"], out["density_grad"], out["pred_normal"],
+            size_average=True
         )
-        bf_loss = losses.backface_loss(
+        bf_loss = losses.backface_loss_rl(
             out["weights"], out["pred_normal"], out["fine_dirs"]
         )
         coarse_normal_loss = 0.0
@@ -100,14 +103,15 @@ def compute_loss(models, params, rays, rgb_gt, key, cfg: PipelineConfig,
             # sample as coarse and drops a real coarse sample); here the merge
             # ranks give the exact positions, with the dropped largest coarse
             # sample masked out of the loss.
-            n_kept = out["density_grad"].shape[1]
+            n_kept = out["density_grad"].shape[2]
             cp = out["coarse_pos"]
             valid = (cp < n_kept).astype(jnp.float32)
             cp_safe = jnp.minimum(cp, n_kept - 1)
-            tgt = jnp.take_along_axis(out["density_grad"], cp_safe[..., None], axis=1)
-            coarse_normal_loss = losses.weighted_normal_loss(
-                out["prop_weights"] * valid, jax.lax.stop_gradient(tgt),
-                out["coarse_grad"], size_average=True,
+            tgt3 = jnp.take_along_axis(
+                out["density_grad"], cp_safe[None, :, :], axis=2)
+            coarse_normal_loss = losses.weighted_normal_loss_rl(
+                out["prop_weights"] * valid, jax.lax.stop_gradient(tgt3),
+                jnp.moveaxis(out["coarse_grad"], -1, 0), size_average=True,
             )
         loss = loss + cfg.normal_loss_w * (
             normal_loss + cfg.coarse_normal_rel_w * coarse_normal_loss

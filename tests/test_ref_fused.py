@@ -96,7 +96,7 @@ def test_ref_all_kernel_variant_matches_flax():
     r, p = pos.shape[:2]
     n = r * p
     pos_f = pos.reshape(n, 3)
-    dirs_f = dirs.reshape(n, 3)
+    dirs3 = dirs.reshape(n, 3).T  # the kernel takes ROW-LAND (3, N) dirs
     enc = jnp.concatenate(
         [pos_f, positional_encoding(pos_f, nerf.pos_levels)], axis=-1)
     noise = jnp.zeros((n, nerf.bottleneck_dim), jnp.float32)
@@ -107,7 +107,7 @@ def test_ref_all_kernel_variant_matches_flax():
                                    use_srgb=False)
         ws = (ops.ref_spatial_weights_from_params(prm)
               + ops.ref_directional_weights_from_params(prm))
-        rgb, density, normal, dgrad = fused(ws, enc, dirs_f, noise,
+        rgb, density, normal, dgrad = fused(ws, enc, dirs3, noise,
                                             pos=pos_f)
         return rgb, density, normal, dgrad
 
@@ -119,11 +119,12 @@ def test_ref_all_kernel_variant_matches_flax():
                                np.asarray(o_rgb), atol=2e-5)
     np.testing.assert_allclose(np.asarray(density).reshape(r, p),
                                np.asarray(o_den), atol=2e-5)
-    np.testing.assert_allclose(np.asarray(normal).reshape(r, p, 3),
+    # kernel normals/targets are ROW-LAND (3, N); oracle emits (3, R, P)
+    np.testing.assert_allclose(np.asarray(normal).reshape(3, r, p),
                                np.asarray(o_nor), atol=2e-5)
     # the in-kernel density-grad finish (PE transpose + normalize) vs the
     # oracle's jax.vjp-over-flax targets
-    np.testing.assert_allclose(np.asarray(dgrad).reshape(r, p, 3),
+    np.testing.assert_allclose(np.asarray(dgrad).reshape(3, r, p),
                                np.asarray(o_grad), atol=2e-5)
 
     def loss_k(prm):

@@ -230,3 +230,26 @@ def test_backface_loss_golden():
     # relu(n.d): [2, 0] -> w*: [2, 0] -> mean 1.0
     np.testing.assert_allclose(float(losses.backface_loss(w, n, d)), 1.0,
                                atol=1e-6)
+
+
+def test_rowland_normal_losses_match_plain():
+    """The ROW-LAND (3, R, P) loss variants (the layout the TPU-default ref
+    pipeline emits) compute the same values as the (R, P, 3) originals."""
+    rng = np.random.default_rng(9)
+    r, p = 5, 7
+    w = jnp.asarray(rng.uniform(size=(r, p)).astype(np.float32))
+    d = jnp.asarray(rng.normal(size=(r, p, 3)).astype(np.float32))
+    n = jnp.asarray(rng.normal(size=(r, p, 3)).astype(np.float32))
+    ray_d = jnp.asarray(rng.normal(size=(r, 3)).astype(np.float32))
+    d3 = jnp.moveaxis(d, -1, 0)
+    n3 = jnp.moveaxis(n, -1, 0)
+    for avg in (True, False):
+        np.testing.assert_allclose(
+            float(losses.weighted_normal_loss_rl(w, d3, n3, size_average=avg)),
+            float(losses.weighted_normal_loss(w, d, n, size_average=avg)),
+            rtol=1e-6)
+    # plain backface takes the per-sample broadcast dirs; _rl takes per-ray
+    dirs_full = jnp.broadcast_to(ray_d[:, None, :], (r, p, 3))
+    np.testing.assert_allclose(
+        float(losses.backface_loss_rl(w, n3, ray_d)),
+        float(losses.backface_loss(w, n, dirs_full)), rtol=1e-6)
