@@ -66,6 +66,15 @@ def test_sigterm_checkpoints_and_resumes(tmp_path):
 
     script = textwrap.dedent("""
         import os, signal, sys, threading
+        # force the CPU backend via jax.config, not just the env var: the
+        # environment's site hook (sitecustomize -> axon register()) wraps
+        # xla_bridge._get_backend_uncached and re-injects the TPU plugin
+        # AFTER JAX_PLATFORMS is read, so with the env var alone the child
+        # dials the TPU tunnel on its first op — and hangs past the
+        # subprocess timeout whenever the tunnel is wedged (seen
+        # 2026-08-17).  Same guard as tests/conftest.py and mp_worker.py.
+        import jax
+        jax.config.update('jax_platforms', 'cpu')
         sys.argv = ['train.py', '--dataset_root', 'data', '--dataset_name',
                     'lego', '--epochs', '20', '--sample_ray_num', '16',
                     '--coarse_sample_pnum', '8', '--fine_sample_pnum', '8',
