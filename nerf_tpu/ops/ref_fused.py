@@ -742,7 +742,10 @@ def make_ref_fused(compute_dtype=jnp.bfloat16, tile: int = 256,
     # BOTH backwards and is fastest (v5e sweep, tools/bench_ref_kernels:
     # dir rowland fwd+bwd 8.68 ms @512 -> 7.95 @1024; spa 6.22 @256/512 ->
     # 5.56 @1024/1024, N=198k)
-    dir_tile = (1024 if rowland else tile) if dir_tile is None else dir_tile
+    # interpret mode (CPU tests) keeps the caller's tile: padding 100-point
+    # test batches to 1024 rows just slows the interpreter ~8x
+    dir_tile = ((tile if interpret else 1024) if rowland else tile) \
+        if dir_tile is None else dir_tile
     spa = _make_spa_fused(cd, tile, interpret, need_grad)
     dr = _make_dir_fused(cd, dir_tile, interpret, ide_level, use_srgb,
                          rowland)

@@ -329,9 +329,10 @@ def _ref_fine_forward_fused(nerf: RefNeRF, nerf_params, pos, dirs, noise_key,
     from nerf_tpu.ops.ref_fused import _make_spa_fused
 
     cd, tile, interpret = _fused_kernel_args(cfg)
-    # the spatial backward (in-kernel jax.vjp) exceeds the 16 MB scoped VMEM
-    # limit at tile 512; 256 measured fastest of the fitting tiles
-    tile = min(tile, 256)
+    # cfg.pallas_tile straight through, like the all-kernel path: the old
+    # min(tile, 256) cap predated the raised per-kernel scoped-VMEM ceiling
+    # (ops/fused_mlp._VMEM_LIMIT) — the same spa kernel now runs fastest at
+    # tile=1024 (round-3 sweep: 6.22 ms @256 -> 5.56 @1024)
     r, p = pos.shape[:2]
     n = r * p
     pos_f = jax.lax.stop_gradient(pos).reshape(n, 3)

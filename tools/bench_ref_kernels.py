@@ -60,7 +60,9 @@ def main():
     k = jax.random.PRNGKey(1)
     heads = jax.random.normal(k, (n, 139), jnp.float32)
     noise = jnp.zeros((n, 128), jnp.float32)
-    dirs = jax.random.normal(jax.random.PRNGKey(2), (n, 3), jnp.float32)
+    # the dir kernels take ROW-LAND (3, n) dirs since the row-land
+    # boundary change; the normal output comes back (3, n) too
+    dirs = jax.random.normal(jax.random.PRNGKey(2), (3, n), jnp.float32)
     enc = jax.random.normal(jax.random.PRNGKey(3), (n, 63), jnp.float32)
     g6 = jax.random.normal(jax.random.PRNGKey(4), (n, 6), jnp.float32) * 0.01
 
@@ -102,7 +104,7 @@ def main():
                     def loss(ws, h):
                         rgb, normal, density = dr(ws, h, noise, dirs)
                         return jnp.sum(rgb * g6[:, :3]) \
-                            + jnp.sum(normal * g6[:, 3:]) \
+                            + jnp.sum(normal * g6[:, 3:].T) \
                             + jnp.sum(density) * 1e-3
                     gws, gh = jax.grad(loss, argnums=(0, 1))(
                         ws_dir, chain(heads, c))
