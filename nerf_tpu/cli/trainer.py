@@ -513,22 +513,70 @@ class Trainer:
                   f"model={self.cfg.model} bf16={self.cfg.use_bf16}")
 
         trace_dir = getattr(args, "trace", None)
+
+        # ONE-EPOCH-DEEP PIPELINE.  Dispatch is async; the fetch+log+print
+        # for epoch N happens AFTER epoch N+1 is dispatched, so the host's
+        # metrics round trip (a device_get is ~0.1-0.4 s through the axon
+        # tunnel) overlaps device compute instead of idling the chip between
+        # epochs.  The 240k-step full-budget run measured ~0.29 s/epoch of
+        # serialized host overhead (~30% of wall clock) before this.
+        # Requires donate=False epoch programs (they are — the signal
+        # handler depends on it too) so the in-flight epoch and the pending
+        # one can coexist.  Epochs that need the finished state on the host
+        # (trace, eval/checkpoint, MA averaging, stop) flush and run
+        # synchronously.
+        pending = None  # (ep, steps, step_base, metrics) not yet fetched
+
+        def _finish(ep_f, steps_f, base_f, metrics_f):
+            # ONE host<->device round trip for the epoch's metrics (the
+            # per-scalar alternative costs ~0.4 s per fetch on this tunnel);
+            # blocks until that epoch's device work is complete
+            metrics_np = jax.device_get(metrics_f)
+            now = time.perf_counter()
+            # completion-to-completion interval == true wall time this epoch
+            # occupied, including any host overhead it failed to hide
+            dt = now - self._epoch_mark
+            self._epoch_mark = now
+            self.train_timer.record(dt)
+            self._log_epoch_metrics(metrics_np, steps_f, base_f)
+            loss = float(metrics_np["loss"][-1])
+            psnr = float(metrics_np["psnr"][-1])
+            lr_now = self._lr_at(base_f + steps_f)
+            # every device (data AND replica axes) trains ray_batch rays/step
+            n_dev = self.n_data * self.n_replica
+            rays_s = steps_f * n_dev * self.cfg.ray_batch / max(dt, 1e-9)
+            if self.is_main:
+                print(f"Epoch {ep_f:4d} / {args.epochs:4d}\tloss: {loss:.4f}\t"
+                      f"PSNR: {psnr:.3f}\tlr: {lr_now:.7f}\t"
+                      f"{rays_s:,.0f} rays/s\t"
+                      f"MFU: {self._mfu(rays_s / n_dev) * 100:.1f}%\t"
+                      f"ETA: {self.train_timer.eta_str(args.epochs - ep_f - 1)}")
+            self.writer.add_scalar("Time/epoch", dt, ep_f)
+            self.writer.add_scalar("MFU", self._mfu(rays_s / n_dev), ep_f)
+
+        self._epoch_mark = time.perf_counter()
         for ep in range(self.epoch_start, args.epochs):
             self._ep = ep
-            self.train_timer.tic()
             step_base = self._host_step
-            if trace_dir is not None and ep == self.epoch_start + 1:
+            traced = trace_dir is not None and ep == self.epoch_start + 1
+            if traced:
+                if pending is not None:
+                    _finish(*pending)
+                    pending = None
                 # trace the second epoch: past compilation, steady state
                 with jax.profiler.trace(trace_dir):
                     steps, metrics = self.run_epoch(ep)
                     jax.block_until_ready(self.state.params)
                 print(f"profiler trace written to {trace_dir}")
             else:
-                steps, metrics = self.run_epoch(ep)
-            jax.block_until_ready(self.state.params)
-            dt = self.train_timer.toc()
+                steps, metrics = self.run_epoch(ep)  # async dispatch
+            if pending is not None:
+                _finish(*pending)
+                pending = None
 
             if self._sync_stop():
+                # the in-flight epoch still completes (its state is what the
+                # signal handler checkpointed / the cooperative save gathers)
                 if jax.process_count() > 1 and self.n_replica > 1:
                     # the cooperative checkpoint the signal handler deferred:
                     # _sync_stop just guaranteed every process reaches this
@@ -541,38 +589,31 @@ class Trainer:
                         print(f"cooperative checkpoint at step {step} -> {path}")
                 raise SystemExit(128 + self._stop_signal)
 
-            # ONE host<->device round trip for the epoch's metrics (the
-            # per-scalar alternative costs ~0.4 s per fetch on this tunnel)
-            metrics_np = jax.device_get(metrics)
-            self._log_epoch_metrics(metrics_np, steps, step_base)
+            is_ma = self.mode == "ma" and self.ma_epoch and \
+                (ep + 1) % self.ma_epoch == 0
+            is_eval = ((ep % args.output_time == 0) or ep == args.epochs - 1) \
+                and ep > self.epoch_start
+            if is_ma or is_eval or traced:
+                _finish(ep, steps, step_base, metrics)
+                if is_ma:
+                    t0 = time.perf_counter()
+                    self.state = self.state._replace(
+                        params=self.average_fn(self.state.params,
+                                               self.ma_weights))
+                    jax.block_until_ready(self.state.params)
+                    self.writer.add_scalar("Time/communication",
+                                           time.perf_counter() - t0, ep)
+                if is_eval:
+                    self._eval_and_checkpoint(ep)
+                # eval/averaging time is not train time: re-mark so the next
+                # epoch's interval covers only itself (matches the old
+                # tic-after-eval behavior)
+                self._epoch_mark = time.perf_counter()
+            else:
+                pending = (ep, steps, step_base, metrics)
 
-            if self.mode == "ma" and self.ma_epoch and \
-                    (ep + 1) % self.ma_epoch == 0:
-                t0 = time.perf_counter()
-                self.state = self.state._replace(
-                    params=self.average_fn(self.state.params, self.ma_weights))
-                jax.block_until_ready(self.state.params)
-                self.writer.add_scalar("Time/communication",
-                                       time.perf_counter() - t0, ep)
-
-            loss = float(metrics_np["loss"][-1])
-            psnr = float(metrics_np["psnr"][-1])
-            lr_now = self._lr_at(self._host_step)
-            # every device (data AND replica axes) trains ray_batch rays/step
-            n_dev = self.n_data * self.n_replica
-            rays_s = steps * n_dev * self.cfg.ray_batch / max(dt, 1e-9)
-            if self.is_main:
-                print(f"Epoch {ep:4d} / {args.epochs:4d}\tloss: {loss:.4f}\t"
-                      f"PSNR: {psnr:.3f}\tlr: {lr_now:.7f}\t"
-                      f"{rays_s:,.0f} rays/s\t"
-                      f"MFU: {self._mfu(rays_s / n_dev) * 100:.1f}%\t"
-                      f"ETA: {self.train_timer.eta_str(args.epochs - ep - 1)}")
-            self.writer.add_scalar("Time/epoch", dt, ep)
-            self.writer.add_scalar("MFU", self._mfu(rays_s / n_dev), ep)
-
-            if ((ep % args.output_time == 0) or ep == args.epochs - 1) \
-                    and ep > self.epoch_start:
-                self._eval_and_checkpoint(ep)
+        if pending is not None:
+            _finish(*pending)
 
         for sig, handler in old_handlers.items():
             signal.signal(sig, handler)

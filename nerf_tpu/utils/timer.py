@@ -29,6 +29,12 @@ class Timer:
         self._start = None
         return dt
 
+    def record(self, dt: float) -> None:
+        """Append an externally measured duration.  Pipelined callers (the
+        trainer's async epoch loop) measure completion-to-completion
+        intervals instead of tic/toc around a blocking call."""
+        self._durations.append(float(dt))
+
     def get_mean_time(self) -> float:
         if not self._durations:
             return 0.0
