@@ -121,6 +121,22 @@ def test_debug_flag_forces_oracle_path():
         get_parser().parse_args(["-b", "--pallas"])).use_pallas is True
 
 
+def test_trace_flag_writes_profile(tiny_dataset, tmp_path, monkeypatch,
+                                   capsys):
+    """--trace DIR runs the synchronous traced-epoch branch of the pipelined
+    epoch loop: a profile lands in DIR and every epoch line still prints."""
+    monkeypatch.chdir(tmp_path)
+    trace_dir = str(tmp_path / "trace")
+    args = _args(tiny_dataset, tmp_path,
+                 extra=["--output_time", "100000", "--trace", trace_dir])
+    Trainer(args, mode="single").train()
+    out = capsys.readouterr().out
+    assert f"profiler trace written to {trace_dir}" in out
+    assert all(f"Epoch    {e} /    3" in out for e in range(3))
+    found = [f for _, _, fs in os.walk(trace_dir) for f in fs]
+    assert found, "no profiler output written"
+
+
 def test_ref_kernels_flag_maps_to_config():
     """--ref_kernels selects the fused-kernel strategy; default is the
     row-land all-kernel variant (BENCHMARKS.md round 3)."""
