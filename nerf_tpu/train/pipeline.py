@@ -448,9 +448,16 @@ def _mip_pass(nerf, nerf_params, rays, edges, cfg: PipelineConfig,
     dirs = jnp.broadcast_to(rays[:, None, 3:], mu.shape)
     rgb, sigma = nerf.apply({"params": nerf_params}, mu, dirs, enc_x,
                             _ray_dir_encoding(nerf, dirs))
+    if not render_depth:
+        # no-extras passes composite ROW-LAND: the (R, P, 3) multiply-reduce
+        # runs at 3/128 lanes on TPU (see render_lib.composite_rl)
+        rgb_out, w = render_lib.composite_rl(
+            jnp.moveaxis(rgb, -1, 0), sigma, mu_t, rays[:, 3:],
+            white_bkg=white_bkg)
+        return rgb_out, w, {}, mu_t
     out = render_lib.composite(
         rgb, sigma, mu_t, rays[:, 3:], white_bkg=white_bkg,
-        depth_bounds=(cfg.near, cfg.far) if render_depth else None,
+        depth_bounds=(cfg.near, cfg.far),
     )
     return (*out, mu_t)
 
@@ -515,8 +522,9 @@ def render_rays_train(models, variables, rays, key, cfg: PipelineConfig,
             need_grad=True, second_order=cfg.second_order_normals, cfg=cfg
         )
         density = jax.nn.softplus(raw_density + 0.5)  # train.py:181 parity
-        fine_rgb, weights, _ = render_lib.composite(
-            rgb, density, z_merged, rays[:, 3:], density_act=lambda x: x
+        fine_rgb, weights = render_lib.composite_rl(
+            jnp.moveaxis(rgb, -1, 0), density, z_merged, rays[:, 3:],
+            density_act=lambda x: x
         )
         out.update(
             fine_rgb=fine_rgb,
@@ -535,7 +543,8 @@ def render_rays_train(models, variables, rays, key, cfg: PipelineConfig,
         pos, z_fine, enc_x = _vanilla_inputs(nerf, rays, f_z, cfg)
         dirs = jnp.broadcast_to(rays[:, None, 3:], pos.shape)
         rgb, sigma = _apply_vanilla(nerf, variables["nerf"], pos, dirs, cfg, enc_x)
-        fine_rgb, weights, _ = render_lib.composite(rgb, sigma, z_fine, rays[:, 3:])
+        fine_rgb, weights = render_lib.composite_rl(
+            jnp.moveaxis(rgb, -1, 0), sigma, z_fine, rays[:, 3:])
         out.update(fine_rgb=fine_rgb, weights=weights, bounds_idx=below, z_fine=z_fine)
 
     out["bounds"] = sampling.weight_bounds(w_blur, out["bounds_idx"])

@@ -93,6 +93,37 @@ def test_composite_normal_extra():
     np.testing.assert_allclose(float(extras["normal"][0]), 1.0, atol=1e-3)
 
 
+def test_composite_rl_matches_composite():
+    """The ROW-LAND train-path composite ((3, R, P) radiance, the layout
+    that keeps points on VPU lanes) equals ``composite`` in values AND in
+    the radiance/density gradients the train step differentiates."""
+    import jax
+
+    rng = np.random.default_rng(4)
+    r, p = 6, 17
+    rgb = jnp.asarray(rng.uniform(size=(r, p, 3)).astype(np.float32))
+    den = jnp.asarray(rng.normal(size=(r, p)).astype(np.float32))
+    zv = jnp.asarray(np.sort(rng.uniform(1, 5, (r, p))).astype(np.float32))
+    dirs = jnp.asarray(rng.normal(size=(r, 3)).astype(np.float32))
+
+    for wb in (False, True):
+        def f_plain(rgb_, den_):
+            out, w, _ = render.composite(rgb_, den_, zv, dirs, white_bkg=wb)
+            return jnp.sum(out ** 2) + jnp.sum(w ** 3)
+
+        def f_rl(rgb_, den_):
+            out, w = render.composite_rl(jnp.moveaxis(rgb_, -1, 0), den_,
+                                         zv, dirs, white_bkg=wb)
+            return jnp.sum(out ** 2) + jnp.sum(w ** 3)
+
+        (vp, gp), (vr, gr) = (jax.value_and_grad(f, argnums=(0, 1))(rgb, den)
+                              for f in (f_plain, f_rl))
+        np.testing.assert_allclose(float(vp), float(vr), rtol=1e-6)
+        for a, b in zip(gp, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6)
+
+
 def test_mse_to_psnr():
     np.testing.assert_allclose(float(render.mse_to_psnr(jnp.asarray(0.01))), 20.0, atol=1e-4)
 
