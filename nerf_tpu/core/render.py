@@ -77,14 +77,10 @@ def composite(rgb: jnp.ndarray, density: jnp.ndarray, zvals: jnp.ndarray,
     nerf_base.py:90-113 — white-background completion, normalized depth map,
     and camera-axis normal map extras.
     """
-    zv = zvals.astype(jnp.float32)
-    if mul_norm:
-        zv = zv * jnp.linalg.norm(ray_dirs.astype(jnp.float32), axis=-1, keepdims=True)
-    weights = transmittance_weights(density, zv, ray_dirs=None, density_act=density_act)
+    weights, zv = _composite_weights(density, zvals, ray_dirs, mul_norm,
+                                     density_act)
     rgb_out = jnp.sum(weights[..., None] * rgb.astype(jnp.float32), axis=-2)
-    if white_bkg:
-        acc = jnp.sum(weights, axis=-1)
-        rgb_out = rgb_out + (1.0 - acc[..., None])
+    rgb_out = _white_bkg(rgb_out, weights) if white_bkg else rgb_out
     extras = {}
     if depth_bounds is not None:
         near, far = depth_bounds
@@ -94,6 +90,21 @@ def composite(rgb: jnp.ndarray, density: jnp.ndarray, zvals: jnp.ndarray,
         proj = jnp.sum(normal * cam_dir[None, None, :], axis=-1)
         extras["normal"] = (jnp.sum(weights * proj, axis=-1) + 1.0) * 0.5
     return rgb_out, weights, extras
+
+
+def _composite_weights(density, zvals, ray_dirs, mul_norm, density_act):
+    """Shared ray-norm scaling + transmittance weights of both composites."""
+    zv = zvals.astype(jnp.float32)
+    if mul_norm:
+        zv = zv * jnp.linalg.norm(ray_dirs.astype(jnp.float32), axis=-1,
+                                  keepdims=True)
+    return transmittance_weights(density, zv, ray_dirs=None,
+                                 density_act=density_act), zv
+
+
+def _white_bkg(rgb_out, weights):
+    acc = jnp.sum(weights, axis=-1)
+    return rgb_out + (1.0 - acc[..., None])
 
 
 def composite_rl(rgb3: jnp.ndarray, density: jnp.ndarray, zvals: jnp.ndarray,
@@ -108,17 +119,10 @@ def composite_rl(rgb3: jnp.ndarray, density: jnp.ndarray, zvals: jnp.ndarray,
     (3, R, P) keeps the points along lanes; the one transpose the caller
     pays to get there is a 2.4 MB layout copy.
     """
-    zv = zvals.astype(jnp.float32)
-    if mul_norm:
-        zv = zv * jnp.linalg.norm(ray_dirs.astype(jnp.float32), axis=-1,
-                                  keepdims=True)
-    weights = transmittance_weights(density, zv, ray_dirs=None,
-                                    density_act=density_act)
+    weights, _ = _composite_weights(density, zvals, ray_dirs, mul_norm,
+                                    density_act)
     rgb_out = jnp.sum(weights[None] * rgb3.astype(jnp.float32), axis=-1).T
-    if white_bkg:
-        acc = jnp.sum(weights, axis=-1)
-        rgb_out = rgb_out + (1.0 - acc[..., None])
-    return rgb_out, weights
+    return (_white_bkg(rgb_out, weights) if white_bkg else rgb_out), weights
 
 
 def mse_to_psnr(mse: jnp.ndarray) -> jnp.ndarray:

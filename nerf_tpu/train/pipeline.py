@@ -435,7 +435,8 @@ def _ref_fine_forward(nerf: RefNeRF, nerf_params, pos, dirs, noise_key,
 
 
 def _mip_pass(nerf, nerf_params, rays, edges, cfg: PipelineConfig,
-              white_bkg: bool = False, render_depth: bool = False):
+              white_bkg: bool = False, render_depth: bool = False,
+              rowland: bool = False):
     """One Mip-NeRF level: cone edges -> IPE -> shared net -> composite.
 
     edges: (R, P+1) sorted depths defining P conical frustums. Returns
@@ -448,16 +449,17 @@ def _mip_pass(nerf, nerf_params, rays, edges, cfg: PipelineConfig,
     dirs = jnp.broadcast_to(rays[:, None, 3:], mu.shape)
     rgb, sigma = nerf.apply({"params": nerf_params}, mu, dirs, enc_x,
                             _ray_dir_encoding(nerf, dirs))
-    if not render_depth:
-        # no-extras passes composite ROW-LAND: the (R, P, 3) multiply-reduce
-        # runs at 3/128 lanes on TPU (see render_lib.composite_rl)
+    if rowland:
+        # TRAIN passes composite ROW-LAND: the (R, P, 3) multiply-reduce runs
+        # at 3/128 lanes on TPU (see render_lib.composite_rl); the win is the
+        # backward, so forward-only eval keeps the plain composite (+ extras)
         rgb_out, w = render_lib.composite_rl(
             jnp.moveaxis(rgb, -1, 0), sigma, mu_t, rays[:, 3:],
             white_bkg=white_bkg)
         return rgb_out, w, {}, mu_t
     out = render_lib.composite(
         rgb, sigma, mu_t, rays[:, 3:], white_bkg=white_bkg,
-        depth_bounds=(cfg.near, cfg.far),
+        depth_bounds=(cfg.near, cfg.far) if render_depth else None,
     )
     return (*out, mu_t)
 
@@ -489,14 +491,16 @@ def render_rays_train(models, variables, rays, key, cfg: PipelineConfig,
         c_edges = sampling.stratified_samples(
             k_strat, n_rays, cfg.n_coarse + 1, cfg.near, cfg.far,
             jitter=jitter)
-        coarse_rgb, w_c, _, _ = _mip_pass(nerf, variables["nerf"], rays, c_edges, cfg)
+        coarse_rgb, w_c, _, _ = _mip_pass(nerf, variables["nerf"], rays, c_edges,
+                                          cfg, rowland=True)
         w_blur = sampling.max_blur_filter(
             jax.lax.stop_gradient(w_c), cfg.max_blur_alpha)
         if u is None:
             u = sorted_uniforms(k_inv, (n_rays, cfg.n_fine + 1))
         f_edges, _, _ = sampling.sample_pdf(
             None, c_edges, w_blur, cfg.n_fine + 1, u=u)
-        fine_rgb, w_f, _, mu_t = _mip_pass(nerf, variables["nerf"], rays, f_edges, cfg)
+        fine_rgb, w_f, _, mu_t = _mip_pass(nerf, variables["nerf"], rays, f_edges,
+                                           cfg, rowland=True)
         # z_fine = frustum CENTERS mu_t: where the weights actually apply
         # (consumed by the distortion/entropy regularizers)
         return {"fine_rgb": fine_rgb, "coarse_rgb": coarse_rgb,
