@@ -75,6 +75,12 @@ class TestTimer:
         assert timer.eta_str(10) == "30s"
         assert Timer.format_seconds(3723) == "1h 2m 3s"
 
+    def test_record_feeds_the_same_window(self):
+        timer = Timer(window=2)
+        for dt in (1.0, 2.0, 4.0):  # pipelined-trainer style external marks
+            timer.record(dt)
+        assert timer.get_mean_time() == pytest.approx(3.0)
+
 
 class TestMetricsWriter:
     def test_jsonl_mirror(self, tmp_path):
