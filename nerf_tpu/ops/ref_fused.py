@@ -287,7 +287,8 @@ def _dir_glue_pure(ws_dir, heads, noise, dirs, mat, sigma, cd,
                          + jax.nn.sigmoid(diffuse - float(np.log(3.0))))
     else:
         rgb = specular + jax.nn.sigmoid(diffuse)
-    return rgb, normal.T  # match the row-land (3, T) normal interface
+    # match the row-land (3, T) rgb/normal kernel interface
+    return rgb.T, normal.T
 
 
 def _ide_pure_rowland(xyzT, kappa_invT, mat, sigma_col, l_max):
@@ -388,15 +389,21 @@ def _dir_glue_pure_rowland(ws_dir, heads, noise, dirsT, mat, sigma_col, cd,
     z6 = _relu_cd(_dense_f32(z5, w5, b5, cd), cd)
     z7 = _relu_cd(_dense_f32(z6, w6, b6, cd), cd)
     z8 = _relu_cd(_dense_f32(z7, w7, b7, cd), cd)
-    spec = jax.nn.sigmoid(_dense_f32(z8, wh, bh, cd))
-
-    specular = spec * jax.nn.sigmoid(heads[:, 8:11])
+    # rgb TAIL in row-land too: the head matmul emits (3, T) directly
+    # (contract wh dim0 x z8 dim1 — the MXU streams either orientation), so
+    # the sigmoid/tint/diffuse chains run at full lanes instead of 3/128,
+    # and rgb crosses the kernel boundary (3, T) straight into the
+    # row-land composite — no external (N, 3) transpose
+    specT = jax.nn.sigmoid(jax.lax.dot_general(
+        wh, z8.astype(cd), (((0,), (1,)), ((), ())),
+        preferred_element_type=F32) + bh.reshape(-1, 1))
+    specularT = specT * jax.nn.sigmoid(heads[:, 8:11].T)
     if use_srgb:
-        rgb = _srgb_pure(specular
-                         + jax.nn.sigmoid(heads[:, 5:8] - float(np.log(3.0))))
+        rgb3 = _srgb_pure(specularT + jax.nn.sigmoid(
+            heads[:, 5:8].T - float(np.log(3.0))))
     else:
-        rgb = specular + jax.nn.sigmoid(heads[:, 5:8])
-    return rgb, normalT  # normal stays ROW-LAND (3, T) through the boundary
+        rgb3 = specularT + jax.nn.sigmoid(heads[:, 5:8].T)
+    return rgb3, normalT  # BOTH outputs ROW-LAND (3, T) through the boundary
 
 
 SPA_HEAD_DIM = 2 + 9 + 128
@@ -472,23 +479,23 @@ def _dir_forward(ws, heads, noise, dirs3, mat, sigma, cd, l_max, use_srgb,
                  rowland):
     """Dispatch between the T-major and row-land glue variants.
 
-    ``dirs3`` is ROW-LAND (3, T); returns (rgb (T, 3), normal3 (3, T),
-    density (T, 1)) — normals stay ROW-LAND so the external normal-loss
-    glue runs at full lane occupancy (an (N, 3) f32 layout uses 3/128
-    lanes; the loss fusions paid 21x roofline for it, round-3 trace).
-    density is a PASSTHROUGH of heads[:, 1].  Routing it through this
+    ``dirs3`` is ROW-LAND (3, T); returns (rgb3 (3, T), normal3 (3, T),
+    density (T, 1)) — rgb and normals stay ROW-LAND so the external
+    composite and normal-loss glue run at full lane occupancy (an (N, 3)
+    f32 layout uses 3/128 lanes; the loss fusions paid 21x roofline for
+    it, round-3 trace).  density is a PASSTHROUGH of heads[:, 1].  Routing it through this
     function makes jax.vjp fold the density cotangent into dheads column 1
     inside the backward kernel; the external alternative was a 219 MB/step
     pad+add combining the (N, 139) dheads with the density column
     (round-3 trace).
     """
     if rowland:
-        rgb, normal3 = _dir_glue_pure_rowland(ws, heads, noise, dirs3, mat,
-                                              sigma.T, cd, l_max, use_srgb)
+        rgb3, normal3 = _dir_glue_pure_rowland(ws, heads, noise, dirs3, mat,
+                                               sigma.T, cd, l_max, use_srgb)
     else:
-        rgb, normal3 = _dir_glue_pure(ws, heads, noise, dirs3.T, mat, sigma,
-                                      cd, l_max, use_srgb)
-    return rgb, normal3, heads[:, 1:2]
+        rgb3, normal3 = _dir_glue_pure(ws, heads, noise, dirs3.T, mat, sigma,
+                                       cd, l_max, use_srgb)
+    return rgb3, normal3, heads[:, 1:2]
 
 
 def _make_dir_fwd_kernel(cd, ide_level, use_srgb, rowland):
@@ -496,12 +503,13 @@ def _make_dir_fwd_kernel(cd, ide_level, use_srgb, rowland):
 
     def kernel(heads_ref, noise_ref, dirs_ref, mat_ref, sigma_ref, *rest):
         ws = tuple(r[:] for r in rest[:N_REF_DIR_WS])
-        out_ref, nrm_ref = rest[N_REF_DIR_WS], rest[N_REF_DIR_WS + 1]
-        rgb, normal3, density = _dir_forward(
+        rgb_ref, nrm_ref, den_ref = rest[N_REF_DIR_WS:N_REF_DIR_WS + 3]
+        rgb3, normal3, density = _dir_forward(
             ws, heads_ref[:], noise_ref[:], dirs_ref[:], mat_ref[:],
             sigma_ref[:], cd, l_max, use_srgb, rowland)
-        out_ref[:] = jnp.concatenate([rgb, density], axis=1)  # (T, 4)
-        nrm_ref[:] = normal3                                  # (3, T)
+        rgb_ref[:] = rgb3      # (3, T) row-land
+        nrm_ref[:] = normal3   # (3, T) row-land
+        den_ref[:] = density   # (T, 1)
 
     return kernel
 
@@ -511,7 +519,8 @@ def _make_dir_bwd_kernel(cd, ide_level, use_srgb, rowland):
 
     def kernel(heads_ref, noise_ref, dirs_ref, grgb_ref, gnrm_ref, gden_ref,
                mat_ref, sigma_ref, *rest):
-        # gnrm_ref is ROW-LAND (3, T), matching _dir_forward's normal output
+        # grgb_ref/gnrm_ref are ROW-LAND (3, T), matching _dir_forward's
+        # rgb3/normal3 outputs
         wrefs = rest[:N_REF_DIR_WS]
         dheads_ref = rest[N_REF_DIR_WS]
         grads = rest[N_REF_DIR_WS + 1:]
@@ -647,20 +656,22 @@ def _make_dir_fused(cd, tile, interpret, ide_level, use_srgb,
         wsc = _prep(ws)
         h, nz, d = _stage(heads, noise, dirs)
         grid = (h.shape[0] // tile,)
-        out, nrm = pl.pallas_call(
+        rgb3, nrm, den = pl.pallas_call(
             fwd_kernel,
             grid=grid,
             in_specs=[_row_spec(tile, h.shape[1]),
                       _row_spec(tile, nz.shape[1]), _col_spec(3, tile),
                       _full_spec(ide_mat.shape), _full_spec(ide_sigma.shape)]
             + [_full_spec(w.shape) for w in wsc],
-            out_specs=(_row_spec(tile, 4), _col_spec(3, tile)),
-            out_shape=(jax.ShapeDtypeStruct((h.shape[0], 4), F32),
-                       jax.ShapeDtypeStruct((3, h.shape[0]), F32)),
+            out_specs=(_col_spec(3, tile), _col_spec(3, tile),
+                       _row_spec(tile, 1)),
+            out_shape=(jax.ShapeDtypeStruct((3, h.shape[0]), F32),
+                       jax.ShapeDtypeStruct((3, h.shape[0]), F32),
+                       jax.ShapeDtypeStruct((h.shape[0], 1), F32)),
             interpret=interpret,
             compiler_params=_VMEM_LIMIT,
         )(h, nz, d, ide_mat, ide_sigma, *wsc)
-        return out[:n, 0:3], nrm[:, :n], out[:n, 3]
+        return rgb3[:, :n], nrm[:, :n], den[:n, 0]
 
     @jax.custom_vjp
     def fused(ws, heads, noise, dirs):
@@ -671,11 +682,12 @@ def _make_dir_fused(cd, tile, interpret, ide_level, use_srgb,
 
     def fused_bwd(res, g):
         ws, heads, noise, dirs = res
-        g_rgb, g_normal, g_density = g  # g_normal arrives ROW-LAND (3, N)
+        # g_rgb AND g_normal arrive ROW-LAND (3, N)
+        g_rgb, g_normal, g_density = g
         n = heads.shape[0]
         wsc = _prep(ws)
         h, nz, d = _stage(heads, noise, dirs)
-        grgb = _pad_rows(g_rgb.astype(F32), tile)
+        grgb = _pad_cols(g_rgb.astype(F32), tile)
         gnrm = _pad_cols(g_normal.astype(F32), tile)
         gden = _pad_rows(g_density.astype(F32).reshape(n, 1), tile)
         grid = (h.shape[0] // tile,)
@@ -684,7 +696,7 @@ def _make_dir_fused(cd, tile, interpret, ide_level, use_srgb,
             grid=grid,
             in_specs=[_row_spec(tile, h.shape[1]),
                       _row_spec(tile, nz.shape[1]), _col_spec(3, tile),
-                      _row_spec(tile, 3), _col_spec(3, tile),
+                      _col_spec(3, tile), _col_spec(3, tile),
                       _row_spec(tile, 1),
                       _full_spec(ide_mat.shape), _full_spec(ide_sigma.shape)]
             + [_full_spec(w.shape) for w in wsc],
@@ -711,11 +723,11 @@ def make_ref_fused(compute_dtype=jnp.bfloat16, tile: int = 256,
     """Fused whole-Ref-NeRF fine forward, split at the heads boundary.
 
     (ws, enc (N, Dx), dirs3 (3, N), noise (N, 128), pos (N, 3)) ->
-      (rgb (N, 3) f32, density (N,) f32, normal (3, N) f32 ROW-LAND,
-       density_grad (3, N) f32 ROW-LAND or None)
+      (rgb3 (3, N) f32 ROW-LAND, density (N,) f32,
+       normal (3, N) f32 ROW-LAND, density_grad (3, N) f32 ROW-LAND or None)
 
-    The normal outputs (and the pred-normal cotangent input) and the dirs
-    INPUT are (3, N): the downstream loss glue and the dirs staging on
+    The rgb/normal outputs (and their cotangent inputs) and the dirs INPUT
+    are (3, N): the downstream composite/loss glue and the dirs staging on
     (N, 3) f32 arrays ran at 3/128 lane occupancy (21x roofline, round-3
     trace); (3, N) keeps points along lanes end to end, and the caller's
     per-ray dirs broadcast into (3, N) without materializing (N, 3).

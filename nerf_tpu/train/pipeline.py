@@ -298,14 +298,14 @@ def _ref_fine_forward_allkernel(nerf: RefNeRF, nerf_params, pos, dirs,
     fused = ops.make_ref_fused(
         cd, tile=tile, interpret=interpret, need_grad=need_grad,
         ide_level=nerf.ide_level, use_srgb=nerf.use_srgb)
-    rgb, density, normal3, dgrad3 = fused(ws, enc, dirs3, noise, pos=pos_f)
+    rgb3, density, normal3, dgrad3 = fused(ws, enc, dirs3, noise, pos=pos_f)
 
-    # normals stay ROW-LAND (3, R, P) out to the losses — see
-    # _ref_fine_forward's contract note
+    # rgb AND normals stay ROW-LAND (3, R, P) out to the composite/losses —
+    # see _ref_fine_forward's contract note
     density_grad = None
     if need_grad:
         density_grad = jax.lax.stop_gradient(dgrad3).reshape(3, r, p)
-    return (rgb.astype(jnp.float32).reshape(r, p, 3), density.reshape(r, p),
+    return (rgb3.astype(jnp.float32).reshape(3, r, p), density.reshape(r, p),
             normal3.astype(jnp.float32).reshape(3, r, p), density_grad)
 
 
@@ -371,7 +371,8 @@ def _ref_fine_forward_fused(nerf: RefNeRF, nerf_params, pos, dirs, noise_key,
                      method=RefNeRF.directional, rngs=rngs)
     normal3 = jnp.moveaxis(
         normal.astype(jnp.float32).reshape(r, p, 3), -1, 0)
-    return rgb, raw_density.reshape(r, p), normal3, density_grad
+    return (jnp.moveaxis(rgb, -1, 0), raw_density.reshape(r, p), normal3,
+            density_grad)
 
 
 def _ref_fine_forward(nerf: RefNeRF, nerf_params, pos, dirs, noise_key,
@@ -392,10 +393,11 @@ def _ref_fine_forward(nerf: RefNeRF, nerf_params, pos, dirs, noise_key,
     positions carry no parameter gradient, and the density gradient is a
     constant the spatial kernel computes in its own forward).
 
-    Contract: pred_normal and density_grad return ROW-LAND, shape
-    (3, R, P).  The (R, P, 3) layout puts the loss glue at 3/128 lane
-    occupancy on TPU (21x roofline, round-3 trace); every variant of this
-    function emits (3, R, P) so the losses stay at full lanes.
+    Contract: rgb, pred_normal and density_grad return ROW-LAND, shape
+    (3, R, P).  The (R, P, 3) layout puts the composite/loss glue at 3/128
+    lane occupancy on TPU (21x roofline, round-3 trace); every variant of
+    this function emits (3, R, P) so the downstream glue stays at full
+    lanes (eval transposes back once per frame).
     """
     # Fused-kernel dispatch (auto: ON on TPU backends, like the vanilla
     # path).  History: round-2's MLP-only kernels LOST to XLA (29.6k vs
@@ -430,8 +432,8 @@ def _ref_fine_forward(nerf: RefNeRF, nerf_params, pos, dirs, noise_key,
         {"params": nerf_params}, spa, dirs, train,
         method=RefNeRF.directional, rngs=rngs,
     )
-    return (rgb, raw_density, jnp.moveaxis(spa["normal"], -1, 0),
-            density_grad)
+    return (jnp.moveaxis(rgb, -1, 0), raw_density,
+            jnp.moveaxis(spa["normal"], -1, 0), density_grad)
 
 
 def _mip_pass(nerf, nerf_params, rays, edges, cfg: PipelineConfig,
@@ -521,14 +523,13 @@ def render_rays_train(models, variables, rays, key, cfg: PipelineConfig,
         z_merged, _, coarse_pos, idx_full = sampling.merge_coarse_fine(c_z, f_z, below)
         pos = render_lib.lengths_to_points(rays, z_merged)
         dirs = jnp.broadcast_to(rays[:, None, 3:], pos.shape)
-        rgb, raw_density, pred_normal, density_grad = _ref_fine_forward(
+        rgb3, raw_density, pred_normal, density_grad = _ref_fine_forward(
             nerf, variables["nerf"], pos, dirs, k_noise, train=True,
             need_grad=True, second_order=cfg.second_order_normals, cfg=cfg
         )
         density = jax.nn.softplus(raw_density + 0.5)  # train.py:181 parity
         fine_rgb, weights = render_lib.composite_rl(
-            jnp.moveaxis(rgb, -1, 0), density, z_merged, rays[:, 3:],
-            density_act=lambda x: x
+            rgb3, density, z_merged, rays[:, 3:], density_act=lambda x: x
         )
         out.update(
             fine_rgb=fine_rgb,
@@ -607,12 +608,13 @@ def render_rays_eval(models, variables, rays, key, cfg: PipelineConfig,
         z_vals, _, _ = sampling.merge_coarse_fine(c_z, f_z)
         pos = render_lib.lengths_to_points(rays, z_vals)
         dirs = jnp.broadcast_to(rays[:, None, 3:], pos.shape)
-        rgb, raw_density, normal3, _ = _ref_fine_forward(
+        rgb3, raw_density, normal3, _ = _ref_fine_forward(
             nerf, variables["nerf"], pos, dirs, None, train=False,
             need_grad=False, cfg=cfg
         )
-        # composite's normal-map extra wants (R, P, 3); eval renders one
-        # frame so the transpose is noise
+        # composite's extras want (R, P, 3); eval renders one frame so the
+        # transposes are noise
+        rgb = jnp.moveaxis(rgb3, 0, -1)
         normal = jnp.moveaxis(normal3, 0, -1)
         density = jax.nn.softplus(raw_density + 0.5)  # procedures.py:74 parity
         act = lambda x: x

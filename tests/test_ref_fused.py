@@ -115,7 +115,8 @@ def test_ref_all_kernel_variant_matches_flax():
     o_rgb, o_den, o_nor, o_grad = _ref_fine_forward(
         nerf, params, pos, dirs, None, train=False, need_grad=True,
         cfg=cfg_xla)
-    np.testing.assert_allclose(np.asarray(rgb).reshape(r, p, 3),
+    # kernel rgb is ROW-LAND (3, N); oracle emits (3, R, P)
+    np.testing.assert_allclose(np.asarray(rgb).reshape(3, r, p),
                                np.asarray(o_rgb), atol=2e-5)
     np.testing.assert_allclose(np.asarray(density).reshape(r, p),
                                np.asarray(o_den), atol=2e-5)

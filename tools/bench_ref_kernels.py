@@ -103,7 +103,7 @@ def main():
                 def dir_fb(c):
                     def loss(ws, h):
                         rgb, normal, density = dr(ws, h, noise, dirs)
-                        return jnp.sum(rgb * g6[:, :3]) \
+                        return jnp.sum(rgb * g6[:, :3].T) \
                             + jnp.sum(normal * g6[:, 3:].T) \
                             + jnp.sum(density) * 1e-3
                     gws, gh = jax.grad(loss, argnums=(0, 1))(
