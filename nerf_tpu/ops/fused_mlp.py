@@ -108,21 +108,29 @@ def _vanilla_forward_tile(x, d, r):
     sigma = _dense(z7, wsig, bsig)                          # (T, 1) f32
     bvec = _dense(z7, wb, bb).astype(cd)                    # (T, B)
     r1 = _relu(_dense(bvec, wr1a) + _dense(d, wr1b, br1)).astype(cd)  # (T, R)
-    logit = _dense(r1, wr2, br2)                            # (T, 3) f32
-    rgb = jax.nn.sigmoid(logit)
-    return h1, h2, h3, h4, z5, z6, z7, sigma, bvec, r1, rgb
+    # rgb tail in ROW-LAND: the head matmul emits (3, T) directly (dim-0
+    # contraction — the MXU streams either orientation), the sigmoid runs at
+    # full lanes instead of 3/128, and rgb crosses the kernel boundary
+    # (3, N) straight into the row-land composite
+    logit3 = jax.lax.dot_general(wr2[:], r1, (((0,), (1,)), ((), ())),
+                                 preferred_element_type=F32) \
+        + br2[:].reshape(-1, 1)                             # (3, T) f32
+    rgb3 = jax.nn.sigmoid(logit3)
+    return h1, h2, h3, h4, z5, z6, z7, sigma, bvec, r1, rgb3
 
 
 def _vanilla_fwd_kernel(encx_ref, encd_ref, *rest):
-    r, out_ref = rest[:N_VANILLA_WS], rest[N_VANILLA_WS]
+    r = rest[:N_VANILLA_WS]
+    rgb_ref, sig_ref = rest[N_VANILLA_WS], rest[N_VANILLA_WS + 1]
     acts = _vanilla_forward_tile(encx_ref[:], encd_ref[:], r)
-    sigma, rgb = acts[7], acts[10]
-    out_ref[:] = jnp.concatenate([rgb, sigma], axis=1)
+    rgb_ref[:] = acts[10]   # (3, T) row-land
+    sig_ref[:] = acts[7]    # (T, 1)
 
 
 def _vanilla_bwd_kernel(encx_ref, encd_ref, grgb_ref, gsig_ref, *rest):
     # separate cotangent refs: the (N, 4) concat of [g_rgb | g_sigma] plus
-    # its layout copy cost ~0.4 ms/step outside (round-3 trace)
+    # its layout copy cost ~0.4 ms/step outside (round-3 trace).
+    # grgb_ref is ROW-LAND (3, T), matching the forward's rgb output
     _vanilla_bwd_tile(encx_ref[:], encd_ref[:], grgb_ref[:], gsig_ref[:],
                       rest)
 
@@ -132,15 +140,20 @@ def _vanilla_bwd_tile(x, d, grgb, gsig, rest):
     (w0, b0, w1, b1, w2, b2, w3, b3, w4a, w4b, b4, w5, b5, w6, b6,
      wsig, bsig, wb, bb, wr1a, wr1b, br1, wr2, br2) = r
     cd = x.dtype
-    h1, h2, h3, h4, z5, z6, z7, _, bvec, r1, rgb = \
+    h1, h2, h3, h4, z5, z6, z7, _, bvec, r1, rgb3 = \
         _vanilla_forward_tile(x, d, r)
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
         for gref in grads:
             gref[:] = jnp.zeros_like(gref)
-    dlogit = (grgb * rgb * (1.0 - rgb)).astype(cd)
-    dr1 = jnp.where(r1.astype(F32) > 0, _dwt(dlogit, wr2), 0.0).astype(cd)
+    # row-land sigmoid backward: grgb and rgb3 are (3, T)
+    dlogit3 = (grgb * rgb3 * (1.0 - rgb3)).astype(cd)
+    dr1 = jnp.where(
+        r1.astype(F32) > 0,
+        jax.lax.dot_general(dlogit3, wr2[:], (((0,), (1,)), ((), ())),
+                            preferred_element_type=F32),
+        0.0).astype(cd)
     dbvec = _dwt(dr1, wr1a)
     gsig_c = gsig.astype(cd)
     dz7 = _dwt(dbvec.astype(cd), wb) + _dwt(gsig_c, wsig)
@@ -169,7 +182,10 @@ def _vanilla_bwd_tile(x, d, grgb, gsig, rest):
     dwb[:] += _dxw(z7, dbvec.astype(cd)); dbb[:] += _bsum(dbvec)
     dwr1a[:] += _dxw(bvec, dr1)
     dwr1b[:] += _dxw(d, dr1);    dbr1[:] += _bsum(dr1)
-    dwr2[:] += _dxw(r1, dlogit); dbr2[:] += _bsum(dlogit)
+    # dwr2 = r1^T @ dlogit with dlogit held (3, T): contract both over T
+    dwr2[:] += jax.lax.dot_general(r1, dlogit3, (((0,), (1,)), ((), ())),
+                                   preferred_element_type=F32)
+    dbr2[:] += jnp.sum(dlogit3.astype(F32), axis=1).reshape(1, -1)
 
 
 def _pad_rows(a, tile):
@@ -190,10 +206,33 @@ def _row_spec(tile, width):
                         memory_space=pltpu.VMEM)
 
 
+def _pad_cols(a, tile):
+    """Pad dim 1 of a (rows, N) array up to a tile multiple."""
+    pad = (-a.shape[1]) % tile
+    if pad:
+        a = jnp.concatenate(
+            [a, jnp.zeros((a.shape[0], pad), a.dtype)], axis=1)
+    return a
+
+
+def _col_spec(rows, tile):
+    """Block over COLUMNS: (rows, tile) blocks of a (rows, N) array.
+
+    Row-land kernel inputs/outputs (rgb/normals as (3, N)) use this so the
+    per-point 3-vector chains downstream of the kernels run with points
+    along lanes — an (N, 3) f32 array under the T(8,128) tiling occupies 3
+    of 128 lanes, and the round-3 trace showed the glue on such arrays
+    paying up to 21x its HBM roofline.
+    """
+    return pl.BlockSpec((rows, tile), lambda i: (0, i),
+                        memory_space=pltpu.VMEM)
+
+
 @functools.lru_cache(maxsize=None)
 def make_vanilla_fused(compute_dtype=jnp.bfloat16, tile: int = 512,
                        interpret: bool = False):
-    """Build the fused VanillaNeRF apply: (ws, enc_x, enc_d) -> (rgb, sigma).
+    """Build the fused VanillaNeRF apply:
+    (ws, enc_x, enc_d) -> (rgb3 (3, N) ROW-LAND, sigma (N,)).
 
     ws: tuple of N_VANILLA_WS arrays (see order above); kernels in any float
     dtype (cast to ``compute_dtype`` on entry, so fp32 master params are
@@ -216,18 +255,19 @@ def make_vanilla_fused(compute_dtype=jnp.bfloat16, tile: int = 512,
         x = _pad_rows(x, tile)
         d = _pad_rows(d, tile)
         grid = (x.shape[0] // tile,)
-        out = pl.pallas_call(
+        rgb3, sig = pl.pallas_call(
             _vanilla_fwd_kernel,
             grid=grid,
             in_specs=[_row_spec(tile, x.shape[1]),
                       _row_spec(tile, d.shape[1])]
             + [_full_spec(w.shape) for w in ws],
-            out_specs=_row_spec(tile, 4),
-            out_shape=jax.ShapeDtypeStruct((x.shape[0], 4), F32),
+            out_specs=(_col_spec(3, tile), _row_spec(tile, 1)),
+            out_shape=(jax.ShapeDtypeStruct((3, x.shape[0]), F32),
+                       jax.ShapeDtypeStruct((x.shape[0], 1), F32)),
             interpret=interpret,
             compiler_params=_VMEM_LIMIT,
         )(x, d, *ws)
-        return out[:n, :3], out[:n, 3]
+        return rgb3[:, :n], sig[:n, 0]
 
     @jax.custom_vjp
     def fused(ws, enc_x, enc_d):
@@ -243,7 +283,7 @@ def make_vanilla_fused(compute_dtype=jnp.bfloat16, tile: int = 512,
         wsc, x, d = _prep(ws, enc_x, enc_d)
         x = _pad_rows(x, tile)
         d = _pad_rows(d, tile)
-        grgb = _pad_rows(g_rgb.astype(F32), tile)
+        grgb = _pad_cols(g_rgb.astype(F32), tile)  # ROW-LAND (3, N)
         gsig = _pad_rows(g_sigma.astype(F32)[:, None], tile)
         grid = (x.shape[0] // tile,)
         grads = pl.pallas_call(
@@ -251,7 +291,7 @@ def make_vanilla_fused(compute_dtype=jnp.bfloat16, tile: int = 512,
             grid=grid,
             in_specs=[_row_spec(tile, x.shape[1]),
                       _row_spec(tile, d.shape[1]),
-                      _row_spec(tile, 3), _row_spec(tile, 1)]
+                      _col_spec(3, tile), _row_spec(tile, 1)]
             + [_full_spec(w.shape) for w in wsc],
             out_specs=tuple(_full_spec(w.shape) for w in wsc),
             out_shape=tuple(

@@ -45,32 +45,8 @@ from jax.experimental import pallas as pl
 
 from nerf_tpu.core.encoding import ide_tables
 from nerf_tpu.ops.fused_mlp import (
-    F32, _VMEM_LIMIT, _full_spec, _pad_rows, _row_spec,
+    F32, _VMEM_LIMIT, _col_spec, _full_spec, _pad_cols, _pad_rows, _row_spec,
 )
-
-
-def _pad_cols(a, tile):
-    """Pad dim 1 of a (rows, N) array up to a tile multiple."""
-    pad = (-a.shape[1]) % tile
-    if pad:
-        a = jnp.concatenate(
-            [a, jnp.zeros((a.shape[0], pad), a.dtype)], axis=1)
-    return a
-
-
-def _col_spec(rows, tile):
-    """Block over COLUMNS: (rows, tile) blocks of a (rows, N) array.
-
-    Row-land kernel outputs (normals as (3, N)) use this so the per-point
-    3-vector chains downstream of the kernels run with points along lanes —
-    an (N, 3) f32 array under the T(8,128) tiling occupies 3 of 128 lanes,
-    and the round-3 trace showed the normal-loss glue paying 21x its
-    roofline for it.
-    """
-    from jax.experimental.pallas import tpu as pltpu
-
-    return pl.BlockSpec((rows, tile), lambda i: (0, i),
-                        memory_space=pltpu.VMEM)
 
 # spatial weight tuple (kernels (in, out); biases (1, out)):
 #  0: w0  (Dx, H)   spa_block1 L0          1: b0

@@ -128,13 +128,18 @@ def _apply_vanilla(nerf: VanillaNeRF, params, pos, dirs, cfg: PipelineConfig,
                    enc_x=None):
     """VanillaNeRF apply — fused Pallas kernel or the flax/XLA oracle.
 
+    Returns (rgb3 (3, R, P) ROW-LAND, sigma (R, P)) — rgb crosses in the
+    layout the row-land composite wants (the (R, P, 3) glue runs at 3/128
+    lanes; see render_lib.composite_rl).  Eval transposes back per frame.
+
     The fused path is valid here because pos/dirs carry no gradient (sampled
     depths are detached, sampling.py:105; rays are data). The IPE path
     (enc_x given) always uses the flax/XLA oracle.
     """
     if not use_pallas(cfg) or enc_x is not None:
-        return nerf.apply({"params": params}, pos, dirs, enc_x,
-                          _ray_dir_encoding(nerf, dirs))
+        rgb, sigma = nerf.apply({"params": params}, pos, dirs, enc_x,
+                                _ray_dir_encoding(nerf, dirs))
+        return jnp.moveaxis(rgb, -1, 0), sigma
     from nerf_tpu import ops
 
     from nerf_tpu.core.encoding import positional_encoding
@@ -159,8 +164,8 @@ def _apply_vanilla(nerf: VanillaNeRF, params, pos, dirs, cfg: PipelineConfig,
     enc_d = _ray_dir_encoding(
         nerf, jax.lax.stop_gradient(dirs)).astype(cd).reshape(r * p, -1)
     fused = ops.make_vanilla_fused(*_fused_kernel_args(cfg))
-    rgb, sigma = fused(ops.vanilla_weights_from_params(params), enc_x, enc_d)
-    return rgb.reshape(r, p, 3), sigma.reshape(r, p)
+    rgb3, sigma = fused(ops.vanilla_weights_from_params(params), enc_x, enc_d)
+    return rgb3.reshape(3, r, p), sigma.reshape(r, p)
 
 
 def _apply_prop(prop: ProposalNetwork, params, pts, cfg: PipelineConfig):
@@ -547,9 +552,10 @@ def render_rays_train(models, variables, rays, key, cfg: PipelineConfig,
     else:
         pos, z_fine, enc_x = _vanilla_inputs(nerf, rays, f_z, cfg)
         dirs = jnp.broadcast_to(rays[:, None, 3:], pos.shape)
-        rgb, sigma = _apply_vanilla(nerf, variables["nerf"], pos, dirs, cfg, enc_x)
-        fine_rgb, weights = render_lib.composite_rl(
-            jnp.moveaxis(rgb, -1, 0), sigma, z_fine, rays[:, 3:])
+        rgb3, sigma = _apply_vanilla(nerf, variables["nerf"], pos, dirs, cfg,
+                                     enc_x)
+        fine_rgb, weights = render_lib.composite_rl(rgb3, sigma, z_fine,
+                                                    rays[:, 3:])
         out.update(fine_rgb=fine_rgb, weights=weights, bounds_idx=below, z_fine=z_fine)
 
     out["bounds"] = sampling.weight_bounds(w_blur, out["bounds_idx"])
@@ -621,7 +627,9 @@ def render_rays_eval(models, variables, rays, key, cfg: PipelineConfig,
     else:
         pos, z_vals, enc_x = _vanilla_inputs(nerf, rays, f_z, cfg)
         dirs = jnp.broadcast_to(rays[:, None, 3:], pos.shape)
-        rgb, density = _apply_vanilla(nerf, variables["nerf"], pos, dirs, cfg, enc_x)
+        rgb3, density = _apply_vanilla(nerf, variables["nerf"], pos, dirs,
+                                       cfg, enc_x)
+        rgb = jnp.moveaxis(rgb3, 0, -1)  # once per eval chunk: noise
         act = jax.nn.relu
 
     normal_info = None

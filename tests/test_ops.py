@@ -49,7 +49,8 @@ class TestVanillaFused:
         enc_x, enc_d = _encode(pos[:, 0], dirs[:, 0])
         fused = make_vanilla_fused(jnp.float32, TILE, interpret=True)
         rgb, sigma = fused(vanilla_weights_from_params(params), enc_x, enc_d)
-        np.testing.assert_allclose(rgb, rgb_ref[:, 0], rtol=2e-5, atol=2e-6)
+        # the kernel emits ROW-LAND (3, N) rgb
+        np.testing.assert_allclose(rgb.T, rgb_ref[:, 0], rtol=2e-5, atol=2e-6)
         np.testing.assert_allclose(sigma, sigma_ref[:, 0], rtol=2e-5, atol=2e-6)
 
     def test_param_grads_match_flax(self, vanilla_setup):
@@ -65,7 +66,7 @@ class TestVanillaFused:
 
         def loss_fused(p):
             rgb, sigma = fused(vanilla_weights_from_params(p), enc_x, enc_d)
-            return jnp.sum(rgb * g_rgb) + jnp.sum(sigma * g_sig)
+            return jnp.sum(rgb * g_rgb.T) + jnp.sum(sigma * g_sig)
 
         gr = jax.grad(loss_ref)(params)
         gf = jax.grad(loss_fused)(params)
@@ -84,7 +85,7 @@ class TestVanillaFused:
         fused = make_vanilla_fused(jnp.bfloat16, TILE, interpret=True)
         rgb, _ = fused(vanilla_weights_from_params(params), enc_x, enc_d)
         assert rgb.dtype == jnp.float32
-        np.testing.assert_allclose(rgb, rgb_ref[:, 0], rtol=0.05, atol=0.02)
+        np.testing.assert_allclose(rgb.T, rgb_ref[:, 0], rtol=0.05, atol=0.02)
 
 
 class TestPropFused:
