@@ -133,10 +133,15 @@ def _apply_vanilla(nerf: VanillaNeRF, params, pos, dirs, cfg: PipelineConfig,
     lanes; see render_lib.composite_rl).  Eval transposes back per frame.
 
     The fused path is valid here because pos/dirs carry no gradient (sampled
-    depths are detached, sampling.py:105; rays are data). The IPE path
-    (enc_x given) always uses the flax/XLA oracle.
+    depths are detached, sampling.py:105; rays are data).  The same holds
+    with enc_x given (IPE mode / mip): the IPE features are functions of
+    DETACHED edges (render_rays_train stop_gradients the resampling weights,
+    matching the reference's .detach() at utils.py:35-36) and of the rays,
+    so the kernel's zero input cotangents are exact there too — routing the
+    mip/IPE passes through the kernel took mip off the XLA per-layer
+    activation round trips it was paying.
     """
-    if not use_pallas(cfg) or enc_x is not None:
+    if not use_pallas(cfg):
         rgb, sigma = nerf.apply({"params": params}, pos, dirs, enc_x,
                                 _ray_dir_encoding(nerf, dirs))
         return jnp.moveaxis(rgb, -1, 0), sigma
@@ -151,13 +156,16 @@ def _apply_vanilla(nerf: VanillaNeRF, params, pos, dirs, cfg: PipelineConfig,
     # preamble ops lose more than the enc HBM round trip costs.
     pos = jax.lax.stop_gradient(pos)
     r, p = pos.shape[:2]
-    pos_f = pos.reshape(r * p, 3)
     cd = _fused_kernel_args(cfg)[0]
-    # cast to the kernel compute dtype AT construction so the convert fuses
-    # into the sin fusion instead of being a separate (N, 63) round trip
-    enc_x = jnp.concatenate(
-        [pos_f, positional_encoding(pos_f, nerf.pos_levels)],
-        axis=-1).astype(cd)
+    if enc_x is None:
+        pos_f = pos.reshape(r * p, 3)
+        # cast to the kernel compute dtype AT construction so the convert
+        # fuses into the sin fusion instead of a separate (N, 63) round trip
+        enc_x = jnp.concatenate(
+            [pos_f, positional_encoding(pos_f, nerf.pos_levels)],
+            axis=-1).astype(cd)
+    else:
+        enc_x = jax.lax.stop_gradient(enc_x).reshape(r * p, -1).astype(cd)
     # ray-level dir encoding broadcast over the P samples (see
     # _ray_dir_encoding); cast to the kernel compute dtype so the convert
     # fuses into the PE sin fusion
@@ -454,16 +462,15 @@ def _mip_pass(nerf, nerf_params, rays, edges, cfg: PipelineConfig,
     feat, mu, mu_t = ipe_feature(edges, rays, nerf.pos_levels, cfg.ipe_radius)
     enc_x = jnp.concatenate([mu, feat], axis=-1) if nerf.cat_origin else feat
     dirs = jnp.broadcast_to(rays[:, None, 3:], mu.shape)
-    rgb, sigma = nerf.apply({"params": nerf_params}, mu, dirs, enc_x,
-                            _ray_dir_encoding(nerf, dirs))
+    rgb3, sigma = _apply_vanilla(nerf, nerf_params, mu, dirs, cfg, enc_x)
     if rowland:
         # TRAIN passes composite ROW-LAND: the (R, P, 3) multiply-reduce runs
         # at 3/128 lanes on TPU (see render_lib.composite_rl); the win is the
         # backward, so forward-only eval keeps the plain composite (+ extras)
         rgb_out, w = render_lib.composite_rl(
-            jnp.moveaxis(rgb, -1, 0), sigma, mu_t, rays[:, 3:],
-            white_bkg=white_bkg)
+            rgb3, sigma, mu_t, rays[:, 3:], white_bkg=white_bkg)
         return rgb_out, w, {}, mu_t
+    rgb = jnp.moveaxis(rgb3, 0, -1)  # eval: once per frame chunk
     out = render_lib.composite(
         rgb, sigma, mu_t, rays[:, 3:], white_bkg=white_bkg,
         depth_bounds=(cfg.near, cfg.far) if render_depth else None,

@@ -49,6 +49,32 @@ class TestMipModel:
         for leaf in jax.tree.leaves(grads):
             assert np.all(np.isfinite(np.asarray(leaf)))
 
+    def test_train_pipeline_fused_matches_xla(self):
+        """Mip through the fused vanilla kernel (IPE features as enc_x) vs
+        the flax/XLA oracle: whole-train-loss values AND parameter grads.
+        Valid because the IPE features are functions of detached edges —
+        the kernel's zero input cotangents are exact (pipeline.py contract;
+        the resampling weights are stop_gradient'ed like the reference's
+        utils.py:35-36 detach)."""
+        cfg_x = _cfg(use_pallas=False, pallas_tile=64)
+        cfg_f = _cfg(use_pallas=True, pallas_tile=64)
+        models_x, models_f = make_models(cfg_x), make_models(cfg_f)
+        params = init_variables(cfg_x, jax.random.PRNGKey(0))
+        rgb_gt = jax.random.uniform(jax.random.PRNGKey(3), (16, 3))
+        key = jax.random.PRNGKey(4)
+
+        (lx, _), gx = jax.value_and_grad(
+            lambda p: compute_loss(models_x, p, _rays(), rgb_gt, key, cfg_x),
+            has_aux=True)(params)
+        (lf, _), gf = jax.value_and_grad(
+            lambda p: compute_loss(models_f, p, _rays(), rgb_gt, key, cfg_f),
+            has_aux=True)(params)
+        np.testing.assert_allclose(float(lf), float(lx), rtol=1e-4)
+        fx, _ = jax.flatten_util.ravel_pytree(gx)
+        ff, _ = jax.flatten_util.ravel_pytree(gf)
+        np.testing.assert_allclose(np.asarray(ff), np.asarray(fx),
+                                   rtol=5e-3, atol=2e-4)
+
     def test_eval_render(self):
         cfg = _cfg()
         params = init_variables(cfg, jax.random.PRNGKey(0))
