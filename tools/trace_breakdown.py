@@ -99,7 +99,7 @@ def main():
     ap.add_argument("--model", default="vanilla",
                     choices=["vanilla", "ref", "mip"])
     ap.add_argument("--pallas", default="auto", choices=["auto", "on", "off"])
-    ap.add_argument("--ref_kernels", default="hybrid",
+    ap.add_argument("--ref_kernels", default="all",
                     choices=["hybrid", "all"])
     ap.add_argument("--rays", type=int, default=1024)
     ap.add_argument("--steps", type=int, default=100)
