@@ -77,6 +77,12 @@ def get_parser() -> argparse.ArgumentParser:
                         "(train.py:168), so its targets are detached "
                         "constants — the default here reproduces that and is "
                         "~25%% faster on the ref path")
+    p.add_argument("--legacy_coarse_select", default=False, action="store_true",
+                   help="reproduce the reference's coarse_grad_select "
+                        "off-by-one (ref_model.py:108-117: the --prop_normal "
+                        "coarse targets treat the last fine sample as coarse "
+                        "and drop the real last coarse sample); default is "
+                        "the corrected merge-rank mapping")
     # nerf_tpu extensions (not in the reference surface)
     p.add_argument("--seed", type=int, default=0, help="Base PRNG seed (the reference used the unseeded global RNG)")
     p.add_argument("--eval_chunk", type=int, default=4096, help="Rays per eval-render chunk")
@@ -158,6 +164,7 @@ def config_from_args(args) -> PipelineConfig:
                     else getattr(args, "pallas", None)),
         use_ipe=getattr(args, "use_ipe", False) or mip,
         second_order_normals=getattr(args, "second_order_normals", False),
+        legacy_coarse_select=getattr(args, "legacy_coarse_select", False),
         ref_kernels=getattr(args, "ref_kernels", "all"),
         distortion_w=getattr(args, "distortion_weight", 0.0),
         entropy_w=getattr(args, "entropy_weight", 0.0),

@@ -75,6 +75,14 @@ class PipelineConfig:
     #              round 3) — the default
     #   "hybrid" — Pallas spatial kernel + XLA directional branch (35.1k)
     ref_kernels: str = "all"
+    # The reference's coarse_grad_select (ref_model.py:108-117) is off by
+    # one: its selector is built over the TRUNCATED length (192) instead of
+    # the pre-truncation 193, so it treats the last FINE sample as coarse
+    # and silently drops the real last coarse sample.  Default here is the
+    # corrected mapping (exact merge-rank positions, dropped sample masked
+    # out of the loss); True reproduces the reference's quirk bit-for-bit
+    # (SURVEY section 7 policy: reproduce behind a flag, fix by default).
+    legacy_coarse_select: bool = False
 
     @property
     def n_merged(self) -> int:

@@ -556,6 +556,12 @@ def render_rays_train(models, variables, rays, key, cfg: PipelineConfig,
             coarse_pos=coarse_pos,
             z_merged=z_merged,
         )
+        if need_prop_grad:
+            # merged position of the LAST fine sample — the element the
+            # reference's off-by-one coarse_grad_select treats as coarse
+            # (consumed only under cfg.legacy_coarse_select)
+            out["last_fine_pos"] = (cfg.n_fine
+                                    + sampling.count_lt(c_z, f_z[:, -1:])[:, 0])
     else:
         pos, z_fine, enc_x = _vanilla_inputs(nerf, rays, f_z, cfg)
         dirs = jnp.broadcast_to(rays[:, None, 3:], pos.shape)

@@ -62,6 +62,31 @@ def sample_train_rays(key, pixel_pool, poses, img_idx, hw, focal, ray_num: int,
     return rays, rgb_gt
 
 
+def legacy_coarse_positions(coarse_pos: jnp.ndarray,
+                            last_fine_pos: jnp.ndarray) -> jnp.ndarray:
+    """Merged positions the reference's coarse_grad_select actually reads.
+
+    Reference-quirk parity (ref_model.py:108-117): the boolean selector is
+    built over the TRUNCATED merge length, so it marks pre-sort indices
+    [n_kept - C, n_kept) as "coarse" — the last FINE sample plus coarse
+    samples 0..C-2 — and pairs them, in merged (sorted-z) order, with the C
+    coarse samples.  Rebuild that pairing from the merge ranks: insert the
+    last fine sample's position into the (sorted) positions of coarse 0..C-2.
+
+    coarse_pos: (R, C) merged positions of the coarse samples (sorted;
+    position C+F-1 marks the dropped largest coarse sample).
+    last_fine_pos: (R,) merged position of the last fine sample.
+    Returns (R, C) int32 positions into the kept merged axis.
+    """
+    n_c = coarse_pos.shape[1]
+    rc = coarse_pos[:, : n_c - 1]                   # (R, C-1), sorted
+    t = last_fine_pos[:, None].astype(jnp.int32)    # (R, 1)
+    m = jnp.sum((rc < t).astype(jnp.int32), axis=1, keepdims=True)
+    k = jnp.arange(n_c, dtype=jnp.int32)[None, :]
+    shift = jnp.clip(jnp.where(k < m, k, k - 1), 0, max(n_c - 2, 0))
+    return jnp.where(k == m, t, jnp.take_along_axis(rc, shift, axis=1))
+
+
 def compute_loss(models, params, rays, rgb_gt, key, cfg: PipelineConfig,
                  noise=None):
     """Total loss + metrics for one ray batch (train.py:193-198 parity).
@@ -100,15 +125,21 @@ def compute_loss(models, params, rays, rgb_gt, key, cfg: PipelineConfig,
             # fine-merged density gradients gathered back to the coarse
             # sample positions.  The reference's boolean-mask gather
             # (ref_model.py:108-117) is off by one (it treats the last fine
-            # sample as coarse and drops a real coarse sample); here the merge
-            # ranks give the exact positions, with the dropped largest coarse
-            # sample masked out of the loss.
+            # sample as coarse and drops a real coarse sample); by default the
+            # merge ranks give the exact positions, with the dropped largest
+            # coarse sample masked out of the loss.
             n_kept = out["density_grad"].shape[2]
             cp = out["coarse_pos"]
-            valid = (cp < n_kept).astype(jnp.float32)
-            cp_safe = jnp.minimum(cp, n_kept - 1)
-            tgt3 = jnp.take_along_axis(
-                out["density_grad"], cp_safe[None, :, :], axis=2)
+            if cfg.legacy_coarse_select:
+                q = legacy_coarse_positions(cp, out["last_fine_pos"])
+                tgt3 = jnp.take_along_axis(
+                    out["density_grad"], q[None, :, :], axis=2)
+                valid = 1.0
+            else:
+                valid = (cp < n_kept).astype(jnp.float32)
+                cp_safe = jnp.minimum(cp, n_kept - 1)
+                tgt3 = jnp.take_along_axis(
+                    out["density_grad"], cp_safe[None, :, :], axis=2)
             coarse_normal_loss = losses.weighted_normal_loss_rl(
                 out["prop_weights"] * valid, jax.lax.stop_gradient(tgt3),
                 jnp.moveaxis(out["coarse_grad"], -1, 0), size_average=True,

@@ -145,6 +145,66 @@ def test_ref_model_loss_and_grads_finite(tiny_scene):
     assert float(jnp.abs(g_norm).max()) > 0
 
 
+def test_legacy_coarse_positions_match_reference_selector():
+    """legacy_coarse_positions == the reference's boolean-selector semantics.
+
+    Oracle: replicate coarse_grad_select (ref_model.py:108-117) in numpy on
+    the sort-based merge — selector over the TRUNCATED length marks pre-sort
+    indices [n_kept - C, n_kept), gathered through sort_inds, then boolean-
+    indexed in merged order."""
+    from nerf_tpu.core import sampling
+    from nerf_tpu.train.step import legacy_coarse_positions
+
+    rng = np.random.default_rng(7)
+    r, nc, nf = 16, 24, 33  # nf = n_fine + 1 of the pipeline
+    c_z = np.sort(rng.uniform(2.0, 6.0, (r, nc)).astype(np.float32), axis=-1)
+    # fine samples strictly inside the coarse midpoint range, like
+    # inverse_sample's bins (guarantees the dropped max is the last coarse)
+    lo = 0.5 * (c_z[:, :1] + c_z[:, 1:2])
+    hi = 0.5 * (c_z[:, -2:-1] + c_z[:, -1:])
+    f_z = np.sort(lo + (hi - lo) * rng.random((r, nf)).astype(np.float32),
+                  axis=-1)
+
+    _, _, coarse_pos = sampling.merge_coarse_fine(
+        jnp.asarray(c_z), jnp.asarray(f_z))
+    last_fine_pos = (nf - 1) + np.sum(c_z[:, None, :] < f_z[:, -1:, None],
+                                      axis=-1)[:, 0]
+    q = np.asarray(legacy_coarse_positions(coarse_pos,
+                                           jnp.asarray(last_fine_pos)))
+
+    # ---- numpy oracle of the reference semantics ----
+    z_cat = np.concatenate([f_z, c_z], axis=-1)         # (r, n)
+    order = np.argsort(z_cat, axis=-1, kind="stable")   # sort_inds
+    n_kept = nc + nf - 1
+    sort_ids = order[:, :n_kept]
+    selector_pre = np.zeros(nc + nf, bool)
+    selector_pre[n_kept - nc:n_kept] = True             # the off-by-one
+    expected = np.stack([np.nonzero(selector_pre[sort_ids[i]])[0]
+                         for i in range(r)])
+    assert expected.shape == (r, nc)
+    np.testing.assert_array_equal(q, expected)
+
+
+def test_legacy_coarse_select_changes_loss(tiny_scene):
+    train, _ = tiny_scene
+    cfg = TINY.replace(model="ref", prop_normal=True, ray_batch=32,
+                       n_coarse=16, n_fine=16)
+    models, params, _ = _setup(cfg)
+    pool = jnp.asarray(train.pixel_pool())
+    poses = jnp.asarray(train.poses)
+    rays, rgb_gt = sample_train_rays(
+        jax.random.PRNGKey(0), pool, poses, 0, train.image_hw, train.focal(),
+        cfg.ray_batch,
+    )
+    key = jax.random.PRNGKey(1)
+    l0, _ = compute_loss(models, params, rays, rgb_gt, key, cfg)
+    l1, m1 = compute_loss(models, params, rays, rgb_gt, key,
+                          cfg.replace(legacy_coarse_select=True))
+    assert np.isfinite(float(l1))
+    # documented divergence: the quirk trains a (slightly) different objective
+    assert float(l0) != float(l1)
+
+
 def test_regularizer_flags_change_loss(tiny_scene):
     train, _ = tiny_scene
     base = TINY.replace(ray_batch=32)

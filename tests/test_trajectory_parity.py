@@ -59,3 +59,19 @@ def test_ref_trajectory_tracks_reference():
     assert rel_img.max() < 5e-3, f"img_loss diverged: {rel_img.max():.2e}"
     assert np.median(rel_loss) < 2e-3, \
         f"loss trajectory diverged: median rel {np.median(rel_loss):.2e}"
+
+
+def test_prop_normal_trajectory_tracks_reference():
+    """--prop_normal: adds the proposal-net density-gradient normals, the
+    reference's off-by-one coarse_grad_select (raced via
+    legacy_coarse_select=True), and the 0.1x coarse-normal loss weight
+    (train.py:183-187, ref_model.py:108-117) to the raced composition."""
+    from tools.trajectory_race import run_race
+
+    traj = run_race(model="ref", steps=10, ray_num=32, n_coarse=16,
+                    n_fine=24, prop_width=48, prop_normal=True)
+    rel_img = _rel(traj["torch_img"], traj["jax_img"])[4:]
+    rel_loss = _rel(traj["torch_loss"], traj["jax_loss"])
+    assert rel_img.max() < 5e-3, f"img_loss diverged: {rel_img.max():.2e}"
+    assert np.median(rel_loss) < 2e-3, \
+        f"loss trajectory diverged: median rel {np.median(rel_loss):.2e}"

@@ -109,7 +109,7 @@ def make_ray_batches(steps, ray_num, hw, seed):
 def run_race(model: str = "vanilla", steps: int = 50, ray_num: int = 64,
              n_coarse: int = 24, n_fine: int = 32, width: int = 48,
              prop_width: int = 48, lr: float = 1.5e-4, seed: int = 0,
-             hw=(40, 40)):
+             hw=(40, 40), prop_normal: bool = False):
     """Race the two frameworks; returns dict with per-step trajectories."""
     import torch
     import torch.nn.functional as F
@@ -174,10 +174,17 @@ def run_race(model: str = "vanilla", steps: int = 50, ray_num: int = 64,
     }
     j_params = jax.tree.map(jnp.asarray, j_params)
 
+    if prop_normal and model != "ref":
+        raise ValueError("--prop_normal races only the ref composition "
+                         "(train.py:183-187)")
     cfg = PipelineConfig(
         model=model, ray_batch=ray_num, n_coarse=n_coarse, n_fine=n_fine,
         nerf_width=width, prop_width=prop_width, use_bf16=False,
-        use_pallas=False, bottleneck_noise=0.0)
+        use_pallas=False, bottleneck_noise=0.0, prop_normal=prop_normal,
+        # racing the reference's ACTUAL coarse_grad_select requires its
+        # off-by-one behavior (ref_model.py:108-117); the corrected default
+        # mapping deliberately diverges (documented in train/config.py)
+        legacy_coarse_select=prop_normal)
 
     actual_lr = schedule_lib.scaled_base_lr(lr, ray_num)
     warmup = 0
@@ -223,16 +230,22 @@ def run_race(model: str = "vanilla", steps: int = 50, ray_num: int = 64,
             + rays[:, None, 3:] * coarse_lengths[:, :, None]
 
         with cpu_compat(torch), injected_rand(torch, [u_np]):
+            coarse_samples.requires_grad = prop_normal  # train.py:165
             density = t_prop.forward(coarse_samples)
+            coarse_grad = None
+            if prop_normal:
+                from nerf.ref_model import RefNeRF as TorchRefCls
+
+                coarse_grad = -TorchRefCls.get_grad(density, coarse_samples)
             density = F.softplus(density)
             prop_weights_raw = TorchProp.get_weights(
                 density, coarse_lengths, rays[:, 3:])
             prop_weights = maxBlurFilter(prop_weights_raw, 0.01)
             fine_lengths, below_idxs = inverseSample(
                 prop_weights, coarse_lengths, n_fine + 1, sort=True)
-            normal_loss = bf_loss = 0.0
+            normal_loss = bf_loss = coarse_normal_loss = 0.0
             if model == "ref":
-                fine_samples, fine_lengths, below_idxs, _ = \
+                fine_samples, fine_lengths, below_idxs, sort_ids = \
                     NeRF.coarseFineMerge(rays, coarse_lengths, fine_lengths,
                                          below_idxs)
                 fine_pos, fine_dir = fine_samples.split((3, 3), dim=-1)
@@ -249,6 +262,14 @@ def run_race(model: str = "vanilla", steps: int = 50, ray_num: int = 64,
                 normal_loss = normal_loss_func(weights, density_grad,
                                                pred_normal)
                 bf_loss = bf_loss_func(weights, pred_normal, fine_dir)
+                if prop_normal:  # train.py:185-187
+                    from nerf.ref_model import RefNeRF as TorchRefCls
+
+                    coarse_pt_fine_grad = TorchRefCls.coarse_grad_select(
+                        density_grad, sort_ids, n_coarse)
+                    coarse_normal_loss = normal_loss_func(
+                        prop_weights, coarse_pt_fine_grad.detach(),
+                        coarse_grad)
             else:
                 fine_lengths = fine_lengths[..., :-1]
                 fine_samples = NeRF.length2pts(rays, fine_lengths)
@@ -260,7 +281,8 @@ def run_race(model: str = "vanilla", steps: int = 50, ray_num: int = 64,
             img_loss = torch.nn.MSELoss()(fine_rendered, rgb_targets)
             prop_loss = ProposalLoss()(weight_bounds, weights.detach())
             loss = prop_loss + img_loss \
-                + 4e-4 * normal_loss + 0.1 * bf_loss  # train.py:198
+                + 4e-4 * (normal_loss + 0.1 * coarse_normal_loss) \
+                + 0.1 * bf_loss  # train.py:198
             loss.backward()
             t_opt.step()
         return float(loss.item()), float(img_loss.item())
@@ -298,8 +320,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="vanilla", choices=["vanilla", "ref"])
     ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--prop_normal", default=False, action="store_true",
+                    help="race the coarse-normal-loss composition "
+                         "(train.py:183-187 incl. coarse_grad_select; jax "
+                         "side runs with legacy_coarse_select=True)")
     args = ap.parse_args()
-    traj = run_race(model=args.model, steps=args.steps)
+    traj = run_race(model=args.model, steps=args.steps,
+                    prop_normal=args.prop_normal)
     tl, jl_ = traj["torch_loss"], traj["jax_loss"]
     rel = np.abs(tl - jl_) / (np.abs(tl) + 1e-9)
     print(f"{'step':>5s} {'torch_loss':>12s} {'jax_loss':>12s} {'rel':>9s} "
