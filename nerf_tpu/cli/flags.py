@@ -56,7 +56,12 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("-d", "--del_dir", default=False, action="store_true", help="Delete dir ./logs and start new records")
     p.add_argument("-l", "--load", default=False, action="store_true", help="Load checkpoint or trained model.")
     p.add_argument("-s", "--use_scaler", default=False, action="store_true", help="bf16 mixed-precision compute (TPU AMP)")
-    p.add_argument("-b", "--debug", default=False, action="store_true", help="Code debugging (detect NaNs eagerly)")
+    p.add_argument("-b", "--debug", default=False, action="store_true",
+                   help="Code debugging: module-attributed NaN detection "
+                        "(host-callback hooks + eager jax_debug_nans where "
+                        "the backend supports callbacks; compiled-in "
+                        "per-module finite flags checked each epoch on the "
+                        "axon TPU tunnel)")
     p.add_argument("-v", "--visualize", default=False, action="store_true", help="[dead in reference; accepted and ignored]")
     p.add_argument("-r", "--do_render", default=False, action="store_true", help="Only render the result")
     p.add_argument("-w", "--white_bkg", default=False, action="store_true", help="Output white background")

@@ -55,14 +55,22 @@ class Trainer:
         self.mode = mode
         self.cfg = config_from_args(args)
         if args.debug:
-            jax.config.update("jax_debug_nans", True)
             # Module-attributed NaN hooks on every flax submodule, entered
             # for the process lifetime like the reference's registered
             # forward hooks (train.py:86-89). Tracing of the epoch step
-            # happens inside this context, so the callbacks are baked into
-            # the compiled program.
-            from nerf_tpu.utils.debug import nan_attribution
+            # happens inside this context.  Two mechanisms (utils/debug.py):
+            # callback mode (CPU/GPU/real-TPU hosts) prints in-step via host
+            # callbacks + eager jax_debug_nans; flag mode (axon tunnel — no
+            # host callbacks) compiles per-module finite checks into the
+            # step, checked per epoch in _finish.  jax_debug_nans stays OFF
+            # in flag mode: its NaN re-run would re-dispatch the whole epoch
+            # op-by-op through the tunnel.
+            from nerf_tpu.utils.debug import (
+                host_callbacks_supported, nan_attribution,
+            )
 
+            if host_callbacks_supported():
+                jax.config.update("jax_debug_nans", True)
             self._nan_hooks = nan_attribution()
             self._nan_hooks.__enter__()
 
@@ -532,6 +540,16 @@ class Trainer:
             # per-scalar alternative costs ~0.4 s per fetch on this tunnel);
             # blocks until that epoch's device work is complete
             metrics_np = jax.device_get(metrics_f)
+            if self.args.debug:
+                # -b flag-mode attribution: compiled-in per-module finite
+                # flags ride the metrics; raise naming the module on the
+                # first bad epoch (no-op in callback mode / healthy runs)
+                from nerf_tpu.utils.debug import (
+                    raise_on_nan_flags, split_nan_flags,
+                )
+
+                metrics_np, nan_flags = split_nan_flags(metrics_np)
+                raise_on_nan_flags(nan_flags)
             now = time.perf_counter()
             # completion-to-completion interval == true wall time this epoch
             # occupied, including any host overhead it failed to hide

@@ -161,6 +161,11 @@ def compute_loss(models, params, rays, rgb_gt, key, cfg: PipelineConfig,
         )
 
     metrics["loss"] = loss
+    # -b flag-mode attribution (axon: no host callbacks): drain any armed
+    # per-module finite flags into the aux metrics INSIDE the grad trace
+    from nerf_tpu.utils import debug as debug_lib
+
+    metrics = debug_lib.attach_nan_flags(metrics)
     return loss, metrics
 
 

@@ -184,6 +184,72 @@ class TestDebug:
             with pytest.raises(Exception, match="block2/Dense_1"):
                 jax.block_until_ready(f(variables))
 
+    def test_nan_attribution_flag_mode_attributes_through_compute_loss(self):
+        """Callback-free -b (axon tunnel: host callbacks rejected): the
+        per-module finite flags compiled into the step must ride the metrics
+        out of jit and name the poisoned module on the host check."""
+        import flax
+
+        from nerf_tpu.data.synthetic import make_synthetic_scene
+        from nerf_tpu.train.config import PipelineConfig
+        from nerf_tpu.train.pipeline import init_variables, make_models
+        from nerf_tpu.train.step import compute_loss, sample_train_rays
+        from nerf_tpu.utils.debug import (
+            nan_attribution, raise_on_nan_flags, split_nan_flags,
+        )
+
+        cfg = PipelineConfig(ray_batch=8, n_coarse=8, n_fine=8,
+                             nerf_width=16, prop_width=16, model="vanilla",
+                             use_pallas=False)
+        models = make_models(cfg)
+        variables = flax.core.unfreeze(
+            init_variables(cfg, jax.random.PRNGKey(0)))
+        kern = variables["nerf"]["block2"]["Dense_1"]["kernel"]
+        variables["nerf"]["block2"]["Dense_1"]["kernel"] = (
+            kern.at[0, 0].set(jnp.nan))
+
+        train, _, _ = make_synthetic_scene(n_train=2, n_test=1, hw=(16, 16),
+                                           seed=0, n_samples=16)
+        rays, rgb_gt = sample_train_rays(
+            jax.random.PRNGKey(0), jnp.asarray(train.pixel_pool()),
+            jnp.asarray(train.poses), 0, train.image_hw, train.focal(), 8)
+
+        with nan_attribution(mode="flags"):
+            f = jax.jit(lambda v: compute_loss(
+                models, v, rays, rgb_gt, jax.random.PRNGKey(1), cfg))
+            _, metrics = jax.block_until_ready(f(variables))
+        plain, flags = split_nan_flags(metrics)
+        assert any("block2" in k for k in flags), flags.keys()
+        assert "loss" in plain and not any(
+            k.startswith("nan_flag:") for k in plain)
+        with pytest.raises(FloatingPointError, match="block2"):
+            raise_on_nan_flags(flags)
+        # healthy modules must not be flagged... but NaN propagates forward
+        # through downstream modules, so only check modules upstream of the
+        # poisoned layer
+        for k, v in flags.items():
+            if "prop" in k or "block1" in k:
+                assert not np.asarray(v).any(), k
+
+    def test_nan_attribution_flag_mode_empty_on_clean_model(self):
+        from nerf_tpu.utils.debug import attach_nan_flags, nan_attribution
+
+        import flax.linen as nn
+
+        model = nn.Dense(8)
+        x = jnp.linspace(-1.0, 1.0, 12).reshape(3, 4)
+        params = model.init(jax.random.PRNGKey(1), x)
+        with nan_attribution(mode="flags"):
+            def fn(p):
+                out = model.apply(p, x)
+                m = attach_nan_flags({"out_sum": out.sum()})
+                return out, m
+
+            out, m = jax.jit(fn)(params)
+        flags = {k: v for k, v in m.items() if k.startswith("nan_flag:")}
+        assert flags, "flag mode must collect flags for float outputs"
+        assert not any(bool(np.asarray(v).any()) for v in flags.values())
+
     def test_nan_attribution_transparent_when_finite(self):
         """The hooks must not change values: same outputs with and without
         the context on a clean model."""
