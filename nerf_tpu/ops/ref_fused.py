@@ -267,7 +267,121 @@ def _dir_glue_pure(ws_dir, heads, noise, dirs, mat, sigma, cd,
     return rgb.T, normal.T
 
 
-def _ide_pure_rowland(xyzT, kappa_invT, mat, sigma_col, l_max):
+def _block_shift_down(arr, sizes):
+    """Per-level-block shift m -> m-1 along dim0: for each block of ``sizes``
+    rows, [zeros(1, T), block[:-1]].  Static slices — Mosaic-friendly."""
+    out, o = [], 0
+    for s in sizes:
+        out.append(jnp.zeros_like(arr[o:o + 1]))
+        out.append(arr[o:o + s - 1])
+        o += s
+    return jnp.concatenate(out, axis=0)
+
+
+@functools.lru_cache(maxsize=None)
+def _vander_z_rowland(l_max):
+    """z -> [z^0 .. z^l_max] rows (l_max+1, T), custom VJP.
+
+    The forward is the polar form (exp(i log|z|) * sign^i — identical bits
+    to the auto path); the backward is the ALGEBRAIC rule
+    d(z^i)/dz = i z^{i-1}: one row-shift + one wide multiply-reduce, instead
+    of jax.vjp's chain through log/exp/abs (each of which re-materializes
+    transcendental residual chains on (l_max+1, T) rows).  Exact including
+    signs.  Padded zero rows stay grad-safe: cotangents there are zero and
+    the rule only multiplies them."""
+    tiny = 1e-20
+
+    def iota_col(n):
+        return jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).astype(F32)
+
+    def _fwd_math(z):
+        i_col = iota_col(l_max + 1)
+        logz = jnp.log(jnp.maximum(jnp.abs(z), tiny))
+        odd = i_col - 2.0 * jnp.floor(i_col * 0.5)
+        sgn = jnp.where(z < 0, -1.0, 1.0)
+        return jnp.exp(i_col * logz) * (1.0 - odd + odd * sgn)
+
+    @jax.custom_vjp
+    def vander(z):
+        return _fwd_math(z)
+
+    def vander_fwd(z):
+        vz = _fwd_math(z)
+        return vz, vz
+
+    def vander_bwd(vz, g):
+        i_col = iota_col(l_max + 1)
+        vz_m1 = jnp.concatenate([jnp.zeros_like(vz[:1]), vz[:-1]], axis=0)
+        dz = jnp.sum(g * i_col * vz_m1, axis=0, keepdims=True)
+        return (dz,)
+
+    vander.defvjp(vander_fwd, vander_bwd)
+    return vander
+
+
+@functools.lru_cache(maxsize=None)
+def _polar_powers_rowland(l_max):
+    """(x, y) -> (Re (x+iy)^m, Im (x+iy)^m) rows (C, T), custom VJP.
+
+    m runs over the per-level channel blocks [0..l for l in 1,2,4,..l_max].
+    Forward: the wide polar form (r^m cos/sin(m theta), theta from the
+    atan2 polynomial) — identical bits to the auto path.  Backward: the
+    COMPLEX derivative d(x+iy)^m = m (x+iy)^{m-1} dz, i.e.
+
+        d(re_m)/dx =  m re_{m-1}   d(re_m)/dy = -m im_{m-1}
+        d(im_m)/dx =  m im_{m-1}   d(im_m)/dy =  m re_{m-1}
+
+    — two block-shifts of the saved forward rows + four wide multiplies,
+    replacing jax.vjp's chain through log/exp/cos/sin/atan2-poly (the
+    dominant cost of the directional backward kernel, round-3 trace:
+    5.12 ms vs a ~3.0 ms matmul ideal).  At the padded all-zero rows the
+    incoming cotangents are zero and the rule only scales them — grad-safe
+    without any clamping."""
+    tiny = 1e-20
+    sizes, l = [], 1
+    while l <= l_max:
+        sizes.append(l + 1)
+        l *= 2
+    sizes = tuple(sizes)
+
+    def iota_col(n):
+        return jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).astype(F32)
+
+    def m_col():
+        return jnp.concatenate([iota_col(s) for s in sizes], axis=0)
+
+    def _fwd_math(x, y):
+        r2 = x * x + y * y
+        logr = 0.5 * jnp.log(jnp.maximum(r2, tiny))
+        theta = _atan2_poly(y, x)
+        m = m_col()
+        r_m = jnp.exp(m * logr)
+        return r_m * jnp.cos(m * theta), r_m * jnp.sin(m * theta)
+
+    @jax.custom_vjp
+    def powers(x, y):
+        return _fwd_math(x, y)
+
+    def powers_fwd(x, y):
+        re_p, im_p = _fwd_math(x, y)
+        return (re_p, im_p), (re_p, im_p)
+
+    def powers_bwd(res, g):
+        re_p, im_p = res
+        g_re, g_im = g
+        m = m_col()
+        re_m1 = _block_shift_down(re_p, sizes)
+        im_m1 = _block_shift_down(im_p, sizes)
+        dx = jnp.sum(m * (g_re * re_m1 + g_im * im_m1), axis=0, keepdims=True)
+        dy = jnp.sum(m * (g_im * re_m1 - g_re * im_m1), axis=0, keepdims=True)
+        return dx, dy
+
+    powers.defvjp(powers_fwd, powers_bwd)
+    return powers
+
+
+def _ide_pure_rowland(xyzT, kappa_invT, mat, sigma_col, l_max,
+                      hand_vjp=False):
     """integrated_dir_enc in ROW-LAND: points along LANES, channels along
     sublanes — returns (2C, T).
 
@@ -284,39 +398,45 @@ def _ide_pure_rowland(xyzT, kappa_invT, mat, sigma_col, l_max):
     tiny = 1e-20
     x, y, z = xyzT[0:1, :], xyzT[1:2, :], xyzT[2:3, :]
 
-    def iota_col(n):
-        return jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).astype(F32)
+    if hand_vjp:
+        # identical forward bits; algebraic complex-derivative backwards
+        # (see _vander_z_rowland/_polar_powers_rowland)
+        vzT = _vander_z_rowland(l_max)(z)
+        re_xy, im_xy = _polar_powers_rowland(l_max)(x, y)
+    else:
+        def iota_col(n):
+            return jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).astype(F32)
 
-    # z-Vandermonde: (l_max+1, T)
-    i_col = iota_col(l_max + 1)
-    logz = jnp.log(jnp.maximum(jnp.abs(z), tiny))
-    odd = i_col - 2.0 * jnp.floor(i_col * 0.5)
-    sgn = jnp.where(z < 0, -1.0, 1.0)
-    vzT = jnp.exp(i_col * logz) * (1.0 - odd + odd * sgn)
+        # z-Vandermonde: (l_max+1, T)
+        i_col = iota_col(l_max + 1)
+        logz = jnp.log(jnp.maximum(jnp.abs(z), tiny))
+        odd = i_col - 2.0 * jnp.floor(i_col * 0.5)
+        sgn = jnp.where(z < 0, -1.0, 1.0)
+        vzT = jnp.exp(i_col * logz) * (1.0 - odd + odd * sgn)
+
+        blocks, l = [], 1
+        while l <= l_max:
+            blocks.append(iota_col(l + 1))
+            l *= 2
+        m_col = jnp.concatenate(blocks, axis=0)  # (C, 1)
+
+        r2 = x * x + y * y
+        logr = 0.5 * jnp.log(jnp.maximum(r2, tiny))
+        theta = _atan2_poly(y, x)
+        r_m = jnp.exp(m_col * logr)
+        re_xy = r_m * jnp.cos(m_col * theta)
+        im_xy = r_m * jnp.sin(m_col * theta)
+
     # (C, T) = mat^T (C, l_max+1) @ vzT — contract dim0 x dim0
     vz_matT = jax.lax.dot_general(mat, vzT, (((0,), (0,)), ((), ())),
                                   preferred_element_type=F32)
-
-    blocks, l = [], 1
-    while l <= l_max:
-        blocks.append(iota_col(l + 1))
-        l *= 2
-    m_col = jnp.concatenate(blocks, axis=0)  # (C, 1)
-
-    r2 = x * x + y * y
-    logr = 0.5 * jnp.log(jnp.maximum(r2, tiny))
-    theta = _atan2_poly(y, x)
-    r_m = jnp.exp(m_col * logr)
-    re_xy = r_m * jnp.cos(m_col * theta)
-    im_xy = r_m * jnp.sin(m_col * theta)
-
     atten = jnp.exp(-sigma_col * kappa_invT)
     return jnp.concatenate([re_xy * vz_matT * atten,
                             im_xy * vz_matT * atten], axis=0)
 
 
 def _dir_glue_pure_rowland(ws_dir, heads, noise, dirsT, mat, sigma_col, cd,
-                           l_max, use_srgb):
+                           l_max, use_srgb, hand_vjp=False):
     """Directional branch with ROW-LAND glue: same math as _dir_glue_pure,
     but every narrow per-point chain runs with points along lanes.
 
@@ -335,7 +455,8 @@ def _dir_glue_pure_rowland(ws_dir, heads, noise, dirsT, mat, sigma_col, cd,
     d_dot_nT = jnp.sum(dirsT * normalT, axis=0, keepdims=True)   # (1, T)
     reflectT = dirsT - 2.0 * d_dot_nT * normalT
     roughnessT = jax.nn.softplus(heads[:, 0:1].T - 1.0)          # (1, T)
-    wr_ideT = _ide_pure_rowland(reflectT, roughnessT, mat, sigma_col, l_max)
+    wr_ideT = _ide_pure_rowland(reflectT, roughnessT, mat, sigma_col, l_max,
+                                hand_vjp=hand_vjp)
 
     b_vec = (heads[:, 11:] + noise).astype(cd)         # (T, 128) T-major
     # fold d.n onto the IDE rows: [wr_ide | d.n] matches w rows [nb:] exactly,
@@ -452,7 +573,7 @@ def _make_spa_bwd_kernel(cd):
 
 
 def _dir_forward(ws, heads, noise, dirs3, mat, sigma, cd, l_max, use_srgb,
-                 rowland):
+                 rowland, hand_vjp=False):
     """Dispatch between the T-major and row-land glue variants.
 
     ``dirs3`` is ROW-LAND (3, T); returns (rgb3 (3, T), normal3 (3, T),
@@ -467,7 +588,8 @@ def _dir_forward(ws, heads, noise, dirs3, mat, sigma, cd, l_max, use_srgb,
     """
     if rowland:
         rgb3, normal3 = _dir_glue_pure_rowland(ws, heads, noise, dirs3, mat,
-                                               sigma.T, cd, l_max, use_srgb)
+                                               sigma.T, cd, l_max, use_srgb,
+                                               hand_vjp=hand_vjp)
     else:
         rgb3, normal3 = _dir_glue_pure(ws, heads, noise, dirs3.T, mat, sigma,
                                        cd, l_max, use_srgb)
@@ -475,6 +597,7 @@ def _dir_forward(ws, heads, noise, dirs3, mat, sigma, cd, l_max, use_srgb,
 
 
 def _make_dir_fwd_kernel(cd, ide_level, use_srgb, rowland):
+    # (forward-only trace: custom_vjp wrappers are pass-through, no flag)
     l_max = int(ide_tables(ide_level)["l_max"])
 
     def kernel(heads_ref, noise_ref, dirs_ref, mat_ref, sigma_ref, *rest):
@@ -490,7 +613,7 @@ def _make_dir_fwd_kernel(cd, ide_level, use_srgb, rowland):
     return kernel
 
 
-def _make_dir_bwd_kernel(cd, ide_level, use_srgb, rowland):
+def _make_dir_bwd_kernel(cd, ide_level, use_srgb, rowland, hand_vjp=True):
     l_max = int(ide_tables(ide_level)["l_max"])
 
     def kernel(heads_ref, noise_ref, dirs_ref, grgb_ref, gnrm_ref, gden_ref,
@@ -511,7 +634,7 @@ def _make_dir_bwd_kernel(cd, ide_level, use_srgb, rowland):
         def full(ws_t, heads_t):
             return _dir_forward(ws_t, heads_t, noise_ref[:], dirs_ref[:],
                                 mat_ref[:], sigma_ref[:], cd,
-                                l_max, use_srgb, rowland)
+                                l_max, use_srgb, rowland, hand_vjp=hand_vjp)
 
         _, vjp_fn = jax.vjp(full, ws, heads)
         dws, dheads = vjp_fn((grgb_ref[:], gnrm_ref[:], gden_ref[:]))
@@ -605,9 +728,10 @@ def _make_spa_fused(cd, tile, interpret, need_grad, bwd_tile=None):
 
 @functools.lru_cache(maxsize=None)
 def _make_dir_fused(cd, tile, interpret, ide_level, use_srgb,
-                    rowland=True):
+                    rowland=True, ide_vjp="hand"):
     fwd_kernel = _make_dir_fwd_kernel(cd, ide_level, use_srgb, rowland)
-    bwd_kernel = _make_dir_bwd_kernel(cd, ide_level, use_srgb, rowland)
+    bwd_kernel = _make_dir_bwd_kernel(cd, ide_level, use_srgb, rowland,
+                                      hand_vjp=(ide_vjp == "hand"))
     tables = ide_tables(ide_level)
     ide_mat = np.asarray(tables["mat"], np.float32)
     ide_sigma = np.asarray(tables["sigma"], np.float32).reshape(1, -1)
@@ -695,7 +819,8 @@ def _make_dir_fused(cd, tile, interpret, ide_level, use_srgb,
 def make_ref_fused(compute_dtype=jnp.bfloat16, tile: int = 256,
                    interpret: bool = False, need_grad: bool = True,
                    ide_level: int = 4, use_srgb: bool = False,
-                   rowland: bool = True, dir_tile: int = None):
+                   rowland: bool = True, dir_tile: int = None,
+                   ide_vjp: str = "hand"):
     """Fused whole-Ref-NeRF fine forward, split at the heads boundary.
 
     (ws, enc (N, Dx), dirs3 (3, N), noise (N, 128), pos (N, 3)) ->
@@ -736,7 +861,7 @@ def make_ref_fused(compute_dtype=jnp.bfloat16, tile: int = 256,
         if dir_tile is None else dir_tile
     spa = _make_spa_fused(cd, tile, interpret, need_grad)
     dr = _make_dir_fused(cd, dir_tile, interpret, ide_level, use_srgb,
-                         rowland)
+                         rowland, ide_vjp=ide_vjp)
 
     def fused(ws, enc, dirs, noise, pos=None):
         if need_grad and pos is None:

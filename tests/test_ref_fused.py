@@ -207,3 +207,52 @@ def test_atan2_poly_accuracy_and_grad_safety():
 
     g = np.asarray(jax.grad(f)(jnp.zeros((3, 2), jnp.float32)))
     assert np.all(g == 0.0)
+
+
+def test_ide_hand_vjp_matches_auto():
+    """The algebraic complex-derivative backward (d(x+iy)^m = m(x+iy)^{m-1},
+    d(z^i) = i z^{i-1}) must agree with the jax.vjp-derived chain through
+    the polar forward to fp32 accuracy — identical forwards, mathematically
+    equal backwards."""
+    from nerf_tpu.core.encoding import ide_tables
+    from nerf_tpu.ops.ref_fused import _ide_pure_rowland
+
+    tables = ide_tables(4)
+    l_max = int(tables["l_max"])
+    mat = jnp.asarray(np.asarray(tables["mat"], np.float32))
+    sigma_col = jnp.asarray(
+        np.asarray(tables["sigma"], np.float32).reshape(-1, 1))
+
+    rng = np.random.default_rng(11)
+    t = 96
+    xyz = rng.normal(0, 1, (3, t)).astype(np.float32)
+    xyz /= np.linalg.norm(xyz, axis=0, keepdims=True)
+    # include exact-zero padded columns (grad-safety at pads)
+    xyz[:, -8:] = 0.0
+    kinv = np.abs(rng.normal(0, 0.3, (1, t))).astype(np.float32)
+    kinv[:, -8:] = 0.0
+    xyzT, kinvT = jnp.asarray(xyz), jnp.asarray(kinv)
+    # zero cotangents at the padded columns — the kernel reality (padded
+    # rows never receive gradient).  At non-padded singular points the two
+    # backwards legitimately differ: auto differentiates the CLAMPED polar
+    # forward (zero slope at the clamp), hand gives the true analytic
+    # derivative (d(x+iy)^1/dx = 1 even at the origin).
+    cot = rng.normal(0, 1, (38, t)).astype(np.float32)
+    cot[:, -8:] = 0.0
+    cot = jnp.asarray(cot)
+
+    def run(hand):
+        f = lambda a, k: _ide_pure_rowland(a, k, mat, sigma_col, l_max,
+                                           hand_vjp=hand)
+        out, vjp = jax.vjp(f, xyzT, kinvT)
+        return out, vjp(cot)
+
+    out_a, (dxyz_a, dk_a) = run(False)
+    out_h, (dxyz_h, dk_h) = run(True)
+    np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_h))
+    np.testing.assert_allclose(np.asarray(dxyz_h), np.asarray(dxyz_a),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dk_h), np.asarray(dk_a),
+                               rtol=2e-4, atol=2e-4)
+    # padded zero columns must stay exactly zero-grad (no NaN leakage)
+    assert np.all(np.asarray(dxyz_h)[:, -8:] == 0.0)

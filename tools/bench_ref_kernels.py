@@ -91,11 +91,13 @@ def main():
                 print(f"spa fwd+bwd (tile={tile}, bwd={bt or 512}) FAILED: "
                       f"{str(e).splitlines()[0][:160]}", file=sys.stderr)
 
-        for rowland in (() if args.no_dir else (False, True)):
-            tag = "rowland" if rowland else "tmajor"
+        dir_variants = [] if args.no_dir else [
+            (False, "auto"), (True, "auto"), (True, "hand")]
+        for rowland, ide_vjp in dir_variants:
+            tag = ("rowland" if rowland else "tmajor") + f"/{ide_vjp}"
             try:
                 dr = _make_dir_fused(jnp.bfloat16, tile, False, 4, False,
-                                     rowland)
+                                     rowland, ide_vjp=ide_vjp)
                 timeit_scan(f"dir fwd ({tag}, tile={tile})", lambda c: jnp.sum(
                     dr(ws_dir, chain(heads, c), noise, dirs)[0]),
                     jnp.float32(0))
