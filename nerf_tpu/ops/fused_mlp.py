@@ -135,11 +135,45 @@ def _vanilla_bwd_kernel(encx_ref, encd_ref, grgb_ref, gsig_ref, *rest):
                       rest)
 
 
+# activation tuple stored by the residual-storing variant (bf16, per tile):
+# h1 h2 h3 h4 z5 z6 z7 bvec r1  (rgb3 re-enters as a bwd input — the fwd
+# already materializes it (3, N) f32)
+N_VANILLA_ACTS = 9
+
+
+def _vanilla_fwd_res_kernel(encx_ref, encd_ref, *rest):
+    """store_residuals forward: also writes the 9 activations to HBM."""
+    r = rest[:N_VANILLA_WS]
+    rgb_ref, sig_ref = rest[N_VANILLA_WS], rest[N_VANILLA_WS + 1]
+    act_refs = rest[N_VANILLA_WS + 2:]
+    acts = _vanilla_forward_tile(encx_ref[:], encd_ref[:], r)
+    h1, h2, h3, h4, z5, z6, z7, sigma, bvec, r1, rgb3 = acts
+    rgb_ref[:] = rgb3
+    sig_ref[:] = sigma
+    for ref, a in zip(act_refs, (h1, h2, h3, h4, z5, z6, z7, bvec, r1)):
+        ref[:] = a
+
+
+def _vanilla_bwd_res_kernel(encx_ref, encd_ref, grgb_ref, gsig_ref,
+                            rgb3_ref, *rest):
+    """store_residuals backward: activations stream back from HBM instead of
+    being recomputed (A/B'd against the recompute form — the recompute costs
+    ~1 forward of matmuls, the residuals ~1.2 GB/step of HBM traffic)."""
+    acts = tuple(rest[i][:] for i in range(N_VANILLA_ACTS))
+    rest = rest[N_VANILLA_ACTS:]
+    r, grads = rest[:N_VANILLA_WS], rest[N_VANILLA_WS:]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for gref in grads:
+            gref[:] = jnp.zeros_like(gref)
+
+    _vanilla_bwd_math(encx_ref[:], encd_ref[:], grgb_ref[:], gsig_ref[:],
+                      acts + (rgb3_ref[:],), r, grads)
+
+
 def _vanilla_bwd_tile(x, d, grgb, gsig, rest):
     r, grads = rest[:N_VANILLA_WS], rest[N_VANILLA_WS:]
-    (w0, b0, w1, b1, w2, b2, w3, b3, w4a, w4b, b4, w5, b5, w6, b6,
-     wsig, bsig, wb, bb, wr1a, wr1b, br1, wr2, br2) = r
-    cd = x.dtype
     h1, h2, h3, h4, z5, z6, z7, _, bvec, r1, rgb3 = \
         _vanilla_forward_tile(x, d, r)
 
@@ -147,6 +181,16 @@ def _vanilla_bwd_tile(x, d, grgb, gsig, rest):
     def _init():
         for gref in grads:
             gref[:] = jnp.zeros_like(gref)
+
+    _vanilla_bwd_math(x, d, grgb, gsig,
+                      (h1, h2, h3, h4, z5, z6, z7, bvec, r1, rgb3), r, grads)
+
+
+def _vanilla_bwd_math(x, d, grgb, gsig, acts, r, grads):
+    (w0, b0, w1, b1, w2, b2, w3, b3, w4a, w4b, b4, w5, b5, w6, b6,
+     wsig, bsig, wb, bb, wr1a, wr1b, br1, wr2, br2) = r
+    cd = x.dtype
+    h1, h2, h3, h4, z5, z6, z7, bvec, r1, rgb3 = acts
     # row-land sigmoid backward: grgb and rgb3 are (3, T)
     dlogit3 = (grgb * rgb3 * (1.0 - rgb3)).astype(cd)
     dr1 = jnp.where(
@@ -230,7 +274,8 @@ def _col_spec(rows, tile):
 
 @functools.lru_cache(maxsize=None)
 def make_vanilla_fused(compute_dtype=jnp.bfloat16, tile: int = 512,
-                       interpret: bool = False):
+                       interpret: bool = False,
+                       store_residuals: bool = False):
     """Build the fused VanillaNeRF apply:
     (ws, enc_x, enc_d) -> (rgb3 (3, N) ROW-LAND, sigma (N,)).
 
@@ -239,6 +284,12 @@ def make_vanilla_fused(compute_dtype=jnp.bfloat16, tile: int = 512,
     fine); biases fp32 of shape (1, width). enc_x (N, Dx), enc_d (N, Dd).
     Input cotangents are ZERO (see module docstring) — only use where the
     encodings carry no gradient.
+
+    store_residuals=True: the forward writes the 9 tile activations to HBM
+    (compute_dtype) and the backward streams them back instead of
+    recomputing the forward — trades ~1 forward of matmuls for ~1.2 GB/step
+    of HBM traffic at the default config.  Kept as a measured A/B
+    (tools/bench_vanilla_kernels); the recompute form is the default.
     """
     cd = compute_dtype
 
@@ -249,35 +300,53 @@ def make_vanilla_fused(compute_dtype=jnp.bfloat16, tile: int = 512,
         )
         return ws, enc_x.astype(cd), enc_d.astype(cd)
 
+    def _act_widths(ws):
+        h = ws[2].shape[0]       # trunk width
+        b = ws[17].shape[0]      # bottleneck width
+        rw = ws[22].shape[0]     # rgb hidden width
+        return (h, h, h, h, h, h, b, b, rw)
+
     def _fwd_impl(ws, enc_x, enc_d):
         n = enc_x.shape[0]
         ws, x, d = _prep(ws, enc_x, enc_d)
         x = _pad_rows(x, tile)
         d = _pad_rows(d, tile)
         grid = (x.shape[0] // tile,)
-        rgb3, sig = pl.pallas_call(
-            _vanilla_fwd_kernel,
+        out_specs = [_col_spec(3, tile), _row_spec(tile, 1)]
+        out_shape = [jax.ShapeDtypeStruct((3, x.shape[0]), F32),
+                     jax.ShapeDtypeStruct((x.shape[0], 1), F32)]
+        if store_residuals:
+            for w in _act_widths(ws):
+                out_specs.append(_row_spec(tile, w))
+                out_shape.append(
+                    jax.ShapeDtypeStruct((x.shape[0], w), cd))
+        outs = pl.pallas_call(
+            _vanilla_fwd_res_kernel if store_residuals
+            else _vanilla_fwd_kernel,
             grid=grid,
             in_specs=[_row_spec(tile, x.shape[1]),
                       _row_spec(tile, d.shape[1])]
             + [_full_spec(w.shape) for w in ws],
-            out_specs=(_col_spec(3, tile), _row_spec(tile, 1)),
-            out_shape=(jax.ShapeDtypeStruct((3, x.shape[0]), F32),
-                       jax.ShapeDtypeStruct((x.shape[0], 1), F32)),
+            out_specs=tuple(out_specs),
+            out_shape=tuple(out_shape),
             interpret=interpret,
             compiler_params=_VMEM_LIMIT,
         )(x, d, *ws)
-        return rgb3[:, :n], sig[:n, 0]
+        rgb3, sig = outs[0], outs[1]
+        return (rgb3[:, :n], sig[:n, 0]), outs[2:]
 
     @jax.custom_vjp
     def fused(ws, enc_x, enc_d):
-        return _fwd_impl(ws, enc_x, enc_d)
+        return _fwd_impl(ws, enc_x, enc_d)[0]
 
     def fused_fwd(ws, enc_x, enc_d):
-        return _fwd_impl(ws, enc_x, enc_d), (ws, enc_x, enc_d)
+        (rgb3, sig), acts = _fwd_impl(ws, enc_x, enc_d)
+        # padded (3, Np) rgb for the res-backward's input (re-slice is free)
+        return (rgb3, sig), (ws, enc_x, enc_d, acts,
+                             rgb3 if store_residuals else None)
 
     def fused_bwd(res, g):
-        ws, enc_x, enc_d = res
+        ws, enc_x, enc_d, acts, rgb3 = res
         g_rgb, g_sigma = g
         n = enc_x.shape[0]
         wsc, x, d = _prep(ws, enc_x, enc_d)
@@ -286,19 +355,28 @@ def make_vanilla_fused(compute_dtype=jnp.bfloat16, tile: int = 512,
         grgb = _pad_cols(g_rgb.astype(F32), tile)  # ROW-LAND (3, N)
         gsig = _pad_rows(g_sigma.astype(F32)[:, None], tile)
         grid = (x.shape[0] // tile,)
+        extra_in, extra_specs = (), []
+        kernel = _vanilla_bwd_kernel
+        if store_residuals:
+            kernel = _vanilla_bwd_res_kernel
+            rgb3p = _pad_cols(rgb3.astype(F32), tile)
+            extra_in = (rgb3p,) + tuple(acts)
+            extra_specs = [_col_spec(3, tile)] + [
+                _row_spec(tile, a.shape[1]) for a in acts]
         grads = pl.pallas_call(
-            _vanilla_bwd_kernel,
+            kernel,
             grid=grid,
             in_specs=[_row_spec(tile, x.shape[1]),
                       _row_spec(tile, d.shape[1]),
                       _col_spec(3, tile), _row_spec(tile, 1)]
+            + extra_specs
             + [_full_spec(w.shape) for w in wsc],
             out_specs=tuple(_full_spec(w.shape) for w in wsc),
             out_shape=tuple(
                 jax.ShapeDtypeStruct(w.shape, F32) for w in wsc),
             interpret=interpret,
             compiler_params=_VMEM_LIMIT,
-        )(x, d, grgb, gsig, *wsc)
+        )(x, d, grgb, gsig, *extra_in, *wsc)
         dws = tuple(dg.astype(w.dtype) for dg, w in zip(grads, ws))
         return dws, jnp.zeros_like(enc_x), jnp.zeros_like(enc_d)
 

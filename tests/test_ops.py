@@ -78,6 +78,35 @@ class TestVanillaFused:
             np.testing.assert_allclose(
                 flat_f[ks], v, rtol=2e-4, atol=2e-5, err_msg=ks)
 
+    def test_store_residuals_variant_matches_recompute(self, vanilla_setup):
+        """The residual-storing backward (activations streamed from HBM)
+        must produce the same outputs and parameter grads as the default
+        recompute-form backward — same math, different residency."""
+        model, params, pos, dirs = vanilla_setup
+        g_rgb = jax.random.normal(jax.random.PRNGKey(5), (N, 3))
+        g_sig = jax.random.normal(jax.random.PRNGKey(6), (N,))
+        enc_x, enc_d = _encode(pos[:, 0], dirs[:, 0])
+        ws = vanilla_weights_from_params(params)
+
+        def run(store):
+            fused = make_vanilla_fused(jnp.float32, TILE, interpret=True,
+                                       store_residuals=store)
+
+            def loss(w):
+                rgb, sigma = fused(w, enc_x, enc_d)
+                return jnp.sum(rgb * g_rgb.T) + jnp.sum(sigma * g_sig)
+
+            (rgb, sigma) = fused(ws, enc_x, enc_d)
+            return rgb, sigma, jax.grad(loss)(ws)
+
+        rgb_a, sig_a, g_a = run(False)
+        rgb_b, sig_b, g_b = run(True)
+        np.testing.assert_array_equal(np.asarray(rgb_a), np.asarray(rgb_b))
+        np.testing.assert_array_equal(np.asarray(sig_a), np.asarray(sig_b))
+        for i, (ga, gb) in enumerate(zip(g_a, g_b)):
+            np.testing.assert_allclose(np.asarray(gb), np.asarray(ga),
+                                       rtol=1e-5, atol=1e-6, err_msg=str(i))
+
     def test_bf16_forward_close(self, vanilla_setup):
         model, params, pos, dirs = vanilla_setup
         rgb_ref, _ = model.apply({"params": params}, pos, dirs)
