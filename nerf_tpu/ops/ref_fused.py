@@ -282,24 +282,24 @@ def _block_shift_down(arr, sizes):
 def _vander_z_rowland(l_max):
     """z -> [z^0 .. z^l_max] rows (l_max+1, T), custom VJP.
 
-    The forward is the polar form (exp(i log|z|) * sign^i — identical bits
-    to the auto path); the backward is the ALGEBRAIC rule
-    d(z^i)/dz = i z^{i-1}: one row-shift + one wide multiply-reduce, instead
-    of jax.vjp's chain through log/exp/abs (each of which re-materializes
-    transcendental residual chains on (l_max+1, T) rows).  Exact including
-    signs.  Padded zero rows stay grad-safe: cotangents there are zero and
-    the rule only multiplies them."""
-    tiny = 1e-20
+    Forward: the plain multiplication RECURRENCE v_{i+1} = v_i * z — in
+    row-land each step is one full-lane (1, T) multiply, so the chain costs
+    l_max wide ops and ZERO transcendentals (the polar exp(i log|z|) form
+    only existed because the T-major recurrence ran at 1/128 lanes).
+    Backward: the ALGEBRAIC rule d(z^i)/dz = i z^{i-1}: one row-shift of the
+    saved forward rows + one wide multiply-reduce, instead of jax.vjp's
+    chain through log/exp/abs.  Exact including signs.  Padded zero rows
+    stay grad-safe: P_i(0) = 0 for i >= 1 exactly, and the rule only
+    multiplies the (zero) cotangents."""
 
     def iota_col(n):
         return jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).astype(F32)
 
     def _fwd_math(z):
-        i_col = iota_col(l_max + 1)
-        logz = jnp.log(jnp.maximum(jnp.abs(z), tiny))
-        odd = i_col - 2.0 * jnp.floor(i_col * 0.5)
-        sgn = jnp.where(z < 0, -1.0, 1.0)
-        return jnp.exp(i_col * logz) * (1.0 - odd + odd * sgn)
+        rows = [jnp.ones_like(z)]
+        for _ in range(l_max):
+            rows.append(rows[-1] * z)
+        return jnp.concatenate(rows, axis=0)
 
     @jax.custom_vjp
     def vander(z):
@@ -324,25 +324,27 @@ def _polar_powers_rowland(l_max):
     """(x, y) -> (Re (x+iy)^m, Im (x+iy)^m) rows (C, T), custom VJP.
 
     m runs over the per-level channel blocks [0..l for l in 1,2,4,..l_max].
-    Forward: the wide polar form (r^m cos/sin(m theta), theta from the
-    atan2 polynomial) — identical bits to the auto path.  Backward: the
-    COMPLEX derivative d(x+iy)^m = m (x+iy)^{m-1} dz, i.e.
+    Forward: the complex-multiplication RECURRENCE P_{m+1} = P_m (x+iy) —
+    4 full-lane (1, T) ops per step in row-land, no transcendentals; every
+    level's channels are prefixes of 0..l_max, so one chain serves all
+    blocks (the polar r^m cos/sin(m theta) form with the atan2 polynomial
+    only existed because the T-major recurrence ran at 1/128 lanes).
+    Backward: the COMPLEX derivative d(x+iy)^m = m (x+iy)^{m-1} dz, i.e.
 
         d(re_m)/dx =  m re_{m-1}   d(re_m)/dy = -m im_{m-1}
         d(im_m)/dx =  m im_{m-1}   d(im_m)/dy =  m re_{m-1}
 
     — two block-shifts of the saved forward rows + four wide multiplies,
-    replacing jax.vjp's chain through log/exp/cos/sin/atan2-poly (the
-    dominant cost of the directional backward kernel, round-3 trace:
-    5.12 ms vs a ~3.0 ms matmul ideal).  At the padded all-zero rows the
-    incoming cotangents are zero and the rule only scales them — grad-safe
-    without any clamping."""
-    tiny = 1e-20
+    replacing jax.vjp's chain through the forward (the dominant cost of the
+    directional backward kernel, round-3 trace: 5.12 ms vs a ~3.0 ms matmul
+    ideal).  P_m(0) = 0 exactly for m >= 1, so padded all-zero rows are
+    grad-safe with no clamping anywhere."""
     sizes, l = [], 1
     while l <= l_max:
         sizes.append(l + 1)
         l *= 2
     sizes = tuple(sizes)
+    n_pow = max(s for s in sizes)  # need P_0 .. P_{l_max}
 
     def iota_col(n):
         return jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).astype(F32)
@@ -351,12 +353,17 @@ def _polar_powers_rowland(l_max):
         return jnp.concatenate([iota_col(s) for s in sizes], axis=0)
 
     def _fwd_math(x, y):
-        r2 = x * x + y * y
-        logr = 0.5 * jnp.log(jnp.maximum(r2, tiny))
-        theta = _atan2_poly(y, x)
-        m = m_col()
-        r_m = jnp.exp(m * logr)
-        return r_m * jnp.cos(m * theta), r_m * jnp.sin(m * theta)
+        re_rows = [jnp.ones_like(x)]
+        im_rows = [jnp.zeros_like(x)]
+        for _ in range(n_pow - 1):
+            re_prev, im_prev = re_rows[-1], im_rows[-1]
+            re_rows.append(re_prev * x - im_prev * y)
+            im_rows.append(im_prev * x + re_prev * y)
+        re_full = jnp.concatenate(re_rows, axis=0)   # (l_max+1, T)
+        im_full = jnp.concatenate(im_rows, axis=0)
+        re_p = jnp.concatenate([re_full[:s] for s in sizes], axis=0)
+        im_p = jnp.concatenate([im_full[:s] for s in sizes], axis=0)
+        return re_p, im_p
 
     @jax.custom_vjp
     def powers(x, y):
@@ -596,8 +603,9 @@ def _dir_forward(ws, heads, noise, dirs3, mat, sigma, cd, l_max, use_srgb,
     return rgb3, normal3, heads[:, 1:2]
 
 
-def _make_dir_fwd_kernel(cd, ide_level, use_srgb, rowland):
-    # (forward-only trace: custom_vjp wrappers are pass-through, no flag)
+def _make_dir_fwd_kernel(cd, ide_level, use_srgb, rowland, hand_vjp=True):
+    # hand_vjp picks the forward math too (recurrence vs polar) so the
+    # forward kernel and the backward kernel's recompute agree bit-for-bit
     l_max = int(ide_tables(ide_level)["l_max"])
 
     def kernel(heads_ref, noise_ref, dirs_ref, mat_ref, sigma_ref, *rest):
@@ -605,7 +613,7 @@ def _make_dir_fwd_kernel(cd, ide_level, use_srgb, rowland):
         rgb_ref, nrm_ref, den_ref = rest[N_REF_DIR_WS:N_REF_DIR_WS + 3]
         rgb3, normal3, density = _dir_forward(
             ws, heads_ref[:], noise_ref[:], dirs_ref[:], mat_ref[:],
-            sigma_ref[:], cd, l_max, use_srgb, rowland)
+            sigma_ref[:], cd, l_max, use_srgb, rowland, hand_vjp=hand_vjp)
         rgb_ref[:] = rgb3      # (3, T) row-land
         nrm_ref[:] = normal3   # (3, T) row-land
         den_ref[:] = density   # (T, 1)
@@ -729,7 +737,8 @@ def _make_spa_fused(cd, tile, interpret, need_grad, bwd_tile=None):
 @functools.lru_cache(maxsize=None)
 def _make_dir_fused(cd, tile, interpret, ide_level, use_srgb,
                     rowland=True, ide_vjp="hand"):
-    fwd_kernel = _make_dir_fwd_kernel(cd, ide_level, use_srgb, rowland)
+    fwd_kernel = _make_dir_fwd_kernel(cd, ide_level, use_srgb, rowland,
+                                      hand_vjp=(ide_vjp == "hand"))
     bwd_kernel = _make_dir_bwd_kernel(cd, ide_level, use_srgb, rowland,
                                       hand_vjp=(ide_vjp == "hand"))
     tables = ide_tables(ide_level)

@@ -249,7 +249,10 @@ def test_ide_hand_vjp_matches_auto():
 
     out_a, (dxyz_a, dk_a) = run(False)
     out_h, (dxyz_h, dk_h) = run(True)
-    np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_h))
+    # forwards differ in bits only: the hand path computes the complex
+    # powers by recurrence, the auto path by the polar exp/log/atan2 form
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_h),
+                               rtol=5e-4, atol=2e-6)
     np.testing.assert_allclose(np.asarray(dxyz_h), np.asarray(dxyz_a),
                                rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(dk_h), np.asarray(dk_a),
