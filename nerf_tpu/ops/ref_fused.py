@@ -533,12 +533,18 @@ def _make_spa_fwd_kernel(cd, need_grad):
             # second _spa_pure call was a third trunk pass per tile —
             # zero-cotangent head matmuls are far cheaper).
             t = enc.shape[0]
-            (rho_tau, nct, bn), vjp_fn = jax.vjp(
-                lambda e: _spa_pure(ws, e, cd), enc)
-            (denc,) = vjp_fn((
-                jnp.concatenate([jnp.zeros((t, 1), F32),
-                                 jnp.ones((t, 1), F32)], axis=1),
-                jnp.zeros_like(nct), jnp.zeros_like(bn)))
+
+            def density_of(e):
+                # has_aux: the OTHER heads are primal-only aux, so the
+                # pullback never runs their transposed matmuls (concrete
+                # zero cotangents are real arrays — the (T, 128) @ (128, H)
+                # bottleneck-head zero-matmul alone is ~0.13 forward)
+                rho_tau, nct, bn = _spa_pure(ws, e, cd)
+                return rho_tau[:, 1:2], (rho_tau, nct, bn)
+
+            density, vjp_fn, (rho_tau, nct, bn) = jax.vjp(
+                density_of, enc, has_aux=True)
+            (denc,) = vjp_fn(jnp.ones((t, 1), F32))
             pos, pew = pos_ref[:], pew_ref[:]
             proj = jax.lax.dot_general(
                 pos, pew, (((1,), (0,)), ((), ())),
