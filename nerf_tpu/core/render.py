@@ -32,13 +32,23 @@ def lengths_to_points(rays: jnp.ndarray, zvals: jnp.ndarray) -> jnp.ndarray:
 
 def transmittance_weights(density: jnp.ndarray, zvals: jnp.ndarray,
                           ray_dirs: Optional[jnp.ndarray] = None,
-                          density_act=jax.nn.relu) -> jnp.ndarray:
+                          density_act=jax.nn.relu,
+                          final_delta=None) -> jnp.ndarray:
     """alpha-compositing weights w_i = alpha_i * prod_{j<i} (1 - alpha_j).
 
     density: (R, P) raw density (activated here via ``density_act``);
     zvals: (R, P); if ``ray_dirs`` is given, depths are scaled by ||d||
     (addtional.py:99-101). Matches nerf_base.py:79-86 including the 1e-10
     cumprod epsilon and the 1e10 final delta.
+
+    ``final_delta`` overrides the 1e10 sentinel for the LAST sample (scalar
+    or array broadcastable to (..., 1), in the same metric units as zvals).
+    The sentinel is the right convention for a trained model (any residual
+    density at the far plane terminates the ray), but it is wrong for
+    quadrature of an analytic field: it turns never-exactly-zero density
+    tails (~1e-10) into near-full opacity, an unfittable target.  Ground
+    truth generation passes the honest final bin width instead (see
+    data/synthetic.render_gt_image and BENCHMARKS.md round 4).
 
     Computed in float32; the cumprod is expressed as exp(cumsum(log)) — on
     TPU a log-space cumulative sum fuses better than cumprod and is
@@ -49,11 +59,12 @@ def transmittance_weights(density: jnp.ndarray, zvals: jnp.ndarray,
     zvals = zvals.astype(jnp.float32)
     if ray_dirs is not None:
         zvals = zvals * jnp.linalg.norm(ray_dirs, axis=-1, keepdims=True)
+    if final_delta is None:
+        final_delta = FAR_DELTA
+    last = jnp.broadcast_to(
+        jnp.asarray(final_delta, jnp.float32), (*zvals.shape[:-1], 1))
     delta = jnp.concatenate(
-        [zvals[..., 1:] - zvals[..., :-1],
-         jnp.full((*zvals.shape[:-1], 1), FAR_DELTA, jnp.float32)],
-        axis=-1,
-    )
+        [zvals[..., 1:] - zvals[..., :-1], last], axis=-1)
     from nerf_tpu.core.fastmath import cumsum_mm
 
     mult = jnp.exp(-density_act(density) * delta)

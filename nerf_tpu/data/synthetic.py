@@ -83,7 +83,13 @@ def render_gt_image(scene, c2w, hw, focal, near=2.0, far=6.0, n_samples=192,
         pts = o[:, None, :] + d[:, None, :] * zvals[None, :, None]
         density, rgb = f(pts, jnp.broadcast_to(d[:, None, :], pts.shape))
         z_metric = zvals[None, :] * norm
-        wgt = transmittance_weights(density, z_metric, density_act=lambda x: x)
+        # honest final bin width instead of the model-side 1e10 sentinel:
+        # the sentinel saturates on the Gaussians' never-exactly-zero tails
+        # (density ~4e-10 at the far plane -> alpha ~0.98 of the near-black
+        # 1e-8-normalized tail color), painting dark silhouette halos no
+        # model can fit — the round-3 "16.0-PSNR pose" (BENCHMARKS.md r4)
+        wgt = transmittance_weights(density, z_metric, density_act=lambda x: x,
+                                    final_delta=(far - near) / n_samples * norm)
         out = jnp.sum(wgt[..., None] * rgb, axis=-2)
         if white_bkg:
             out = out + (1.0 - jnp.sum(wgt, axis=-1, keepdims=True))

@@ -35,6 +35,52 @@ def test_weights_sum_below_one(rng):
     assert np.all(w.sum(-1) <= 1.0 + 1e-4)
 
 
+def test_weights_final_delta_override():
+    """final_delta replaces the 1e10 sentinel on the LAST sample only.
+
+    A tiny residual density (1e-9) at the far plane saturates the sentinel
+    bin (alpha ~1-exp(-10)) but must contribute ~nothing under an honest
+    final bin width — the GT-generation mode (synthetic.render_gt_image)."""
+    density = jnp.concatenate(
+        [jnp.zeros((1, 7)), jnp.full((1, 1), 1e-9)], axis=-1)
+    zvals = jnp.linspace(2.0, 6.0, 8)[None]
+    w_sentinel = np.asarray(render.transmittance_weights(
+        density, zvals, density_act=lambda x: x))
+    assert w_sentinel[0, -1] > 0.9  # the unfittable halo mechanism
+    w_honest = np.asarray(render.transmittance_weights(
+        density, zvals, density_act=lambda x: x, final_delta=0.5))
+    assert w_honest[0, -1] < 1e-8
+    # earlier samples are untouched
+    np.testing.assert_allclose(w_honest[0, :-1], w_sentinel[0, :-1])
+    # per-ray array final_delta broadcasts like the zvals
+    w_arr = np.asarray(render.transmittance_weights(
+        jnp.tile(density, (3, 1)), jnp.tile(zvals, (3, 1)),
+        density_act=lambda x: x,
+        final_delta=jnp.full((3, 1), 0.5)))
+    np.testing.assert_allclose(w_arr, np.tile(w_honest, (3, 1)))
+
+
+def test_gt_render_has_no_sentinel_halo():
+    """GT images must not contain the dark silhouette-halo artifact.
+
+    With the sentinel, grazing rays past a blob kept density ~1e-10 at the
+    far plane and composited ~0.98 alpha of near-black (the round-3/4
+    "16.0-PSNR pose"); with the honest final bin the background around the
+    object silhouette stays white and no pixel drops below the darkest
+    achievable blob-mixture color (every blob channel >= 0.1)."""
+    from nerf_tpu.data.synthetic import _scene_params, render_gt_image
+    import nerf_tpu.core.rays as rays_lib
+
+    scene = _scene_params(0)
+    pose = np.asarray(rays_lib.pose_spherical(-25.3, -20.7, 4.0))
+    img = render_gt_image(scene, pose, (32, 32),
+                          rays_lib.fov_to_focal(0.69, (32, 32)),
+                          n_samples=96)
+    assert img.min() >= 0.095, f"dark-halo artifact: min={img.min():.4f}"
+    # corner pixels see no blob at all -> exactly background white
+    assert img[0, 0].min() > 0.999
+
+
 def test_opaque_wall_collapses_to_first_sample():
     """Huge density at the first sample -> weight ~1 there, ~0 after."""
     density = jnp.full((1, 8), 1e4)

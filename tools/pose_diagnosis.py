@@ -9,7 +9,12 @@ Renders every test pose from a trained checkpoint and decomposes the error:
   * the worst 16x16 error patch location per pose.
 
     python -m tools.pose_diagnosis --dataset_root DATA --dataset_name NAME \
-        [-t] [-w] [--img_scale 1.0]
+        [-t] [-w] [--img_scale 1.0] [--split test] [--poses 0,3,4]
+
+``--split train --poses i,j`` renders TRAINING views from the same
+checkpoint — comparing a weak test pose against its azimuth-adjacent train
+views separates scene difficulty (both weak) from view overfitting (train
+strong, test weak).
 """
 
 from __future__ import annotations
@@ -33,10 +38,14 @@ def psnr(mse):
 
 
 def main():
-    args = get_parser().parse_args()
+    parser = get_parser()
+    parser.add_argument("--split", default="test", choices=["test", "train"])
+    parser.add_argument("--poses", default="",
+                        help="comma-separated pose indices (default: all)")
+    args = parser.parse_args()
     cfg = config_from_args(args)
     root = os.path.join(args.dataset_root, args.dataset_name)
-    testset = BlenderDataset.load(root, "test", img_scale=args.img_scale,
+    testset = BlenderDataset.load(root, args.split, img_scale=args.img_scale,
                                   scene_scale=args.scene_scale,
                                   white_bkg=args.white_bkg)
     focal = testset.focal(legacy_square=args.legacy_focal)
@@ -47,7 +56,10 @@ def main():
     out_dir = os.path.join(args.output_dir, "diagnosis")
     os.makedirs(out_dir, exist_ok=True)
 
-    for i, pose in enumerate(testset.poses):
+    indices = (sorted(int(s) for s in args.poses.split(","))
+               if args.poses else range(len(testset.poses)))
+    for i in indices:
+        pose = testset.poses[i]
         out = render_image(
             params, pose, testset.image_hw, focal, cfg,
             sample_num=cfg.n_fine,
@@ -72,7 +84,7 @@ def main():
               f"background {p_bkg:6.2f}  obj_frac {obj.mean():.3f}  "
               f"worst16x16 at (row {r}, col {c}) sum {patch[r, c]:.1f}")
         heat = np.repeat((amax / max(amax.max(), 1e-6))[..., None], 3, -1)
-        save_image_grid(os.path.join(out_dir, f"pose_{i}.png"),
+        save_image_grid(os.path.join(out_dir, f"{args.split}_pose_{i}.png"),
                         [pred, gt, heat], nrow=3)
     print(f"maps -> {out_dir}", file=sys.stderr)
 
