@@ -32,16 +32,19 @@ import jax
 import jax.numpy as jnp
 
 BASELINE_RAYS_PER_SEC = 7900.0
-# measured 21.6-21.9 on this scene/seed at step 2250 (2026-08-16); a healthy
-# run clears 20 with margin, a broken numerics change does not
+# measured 30.3 on the fixed-GT scene/seed at step 2250 (2026-08-19; the
+# pre-fix halo'd GT measured 21.6-24.1 — see BENCHMARKS.md round 4); a
+# healthy run clears 20 with wide margin, a broken numerics change does not
 PSNR_FLOOR_AT_2250 = 20.0
 # Ref-NeRF flagship gate (VERDICT r2 weak #4: a flagship-path regression must
-# fail the bench loudly): measured 23.0 train PSNR at step 1250 on this
-# scene/seed (2026-08-17, all-kernel default at 49.8k rays/s)
+# fail the bench loudly): measured 34.0 train PSNR at step 1250 on the
+# fixed-GT scene/seed (2026-08-19, all-kernel default at 61.3k rays/s)
 REF_PSNR_FLOOR_AT_1250 = 20.0
-# Mip gate (VERDICT r3 weak #4: the mip path was ungated): measured 23.3
-# train PSNR at step 1250 on this scene/seed (2026-08-19, fused-kernel IPE
-# path at 164k rays/s)
+# Mip gate (VERDICT r3 weak #4: the mip path was ungated): measured 23.0
+# train PSNR at step 1250 on the fixed-GT scene/seed (2026-08-19, fused-kernel
+# IPE path at 173.1k rays/s).  The halo'd pre-fix GT measured 18.6 here —
+# below 20 — because mip's shared coarse/fine network converges slower early;
+# the floor only became meaningful once the GT was fittable.
 MIP_PSNR_FLOOR_AT_1250 = 20.0
 
 

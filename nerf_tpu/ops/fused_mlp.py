@@ -105,7 +105,13 @@ def _vanilla_forward_tile(x, d, r):
     z5 = _relu(_dense(x, w4a) + _dense(h4, w4b, b4)).astype(cd)
     z6 = _relu(_dense(z5, w5, b5)).astype(cd)
     z7 = _relu(_dense(z6, w6, b6)).astype(cd)
-    sigma = _dense(z7, wsig, bsig)                          # (T, 1) f32
+    # sigma head in ROW-LAND (1, T): the (N, 1) T(8,128) form forced ~0.2
+    # ms/step of external relayouts ((N,1)->(N,) reduce + the (R,P)->(N,1)
+    # cotangent copy, round-4 trace) — (1, N) shares the flat row-major
+    # order of the (R, P) consumer so both directions are free
+    sigma = jax.lax.dot_general(wsig[:], z7, (((0,), (1,)), ((), ())),
+                                preferred_element_type=F32) \
+        + bsig[:].reshape(-1, 1)                            # (1, T) f32
     bvec = _dense(z7, wb, bb).astype(cd)                    # (T, B)
     r1 = _relu(_dense(bvec, wr1a) + _dense(d, wr1b, br1)).astype(cd)  # (T, R)
     # rgb tail in ROW-LAND: the head matmul emits (3, T) directly (dim-0
@@ -124,7 +130,7 @@ def _vanilla_fwd_kernel(encx_ref, encd_ref, *rest):
     rgb_ref, sig_ref = rest[N_VANILLA_WS], rest[N_VANILLA_WS + 1]
     acts = _vanilla_forward_tile(encx_ref[:], encd_ref[:], r)
     rgb_ref[:] = acts[10]   # (3, T) row-land
-    sig_ref[:] = acts[7]    # (T, 1)
+    sig_ref[:] = acts[7]    # (1, T) row-land
 
 
 def _vanilla_bwd_kernel(encx_ref, encd_ref, grgb_ref, gsig_ref, *rest):
@@ -199,8 +205,13 @@ def _vanilla_bwd_math(x, d, grgb, gsig, acts, r, grads):
                             preferred_element_type=F32),
         0.0).astype(cd)
     dbvec = _dwt(dr1, wr1a)
-    gsig_c = gsig.astype(cd)
-    dz7 = _dwt(dbvec.astype(cd), wb) + _dwt(gsig_c, wsig)
+    gsig_c = gsig.astype(cd)  # ROW-LAND (1, T)
+    # d(sigma)/d(z7) with gsig held (1, T): contract the singleton dims
+    # (gsig dim0 x wsig dim1, K=1 same-dtype — the mixed-dtype K=1 form
+    # trips a Mosaic verifier bug, see ref_fused.py)
+    dz7 = _dwt(dbvec.astype(cd), wb) + jax.lax.dot_general(
+        gsig_c, wsig[:], (((0,), (1,)), ((), ())),
+        preferred_element_type=F32)
     dz7 = jnp.where(z7.astype(F32) > 0, dz7, 0.0).astype(cd)
     dz6 = jnp.where(z6.astype(F32) > 0, _dwt(dz7, w6), 0.0).astype(cd)
     dz5 = jnp.where(z5.astype(F32) > 0, _dwt(dz6, w5), 0.0).astype(cd)
@@ -222,7 +233,10 @@ def _vanilla_bwd_math(x, d, grgb, gsig, acts, r, grads):
     dw4b[:] += _dxw(h4, dz5);    db4[:] += _bsum(dz5)
     dw5[:] += _dxw(z5, dz6);     db5[:] += _bsum(dz6)
     dw6[:] += _dxw(z6, dz7);     db6[:] += _bsum(dz7)
-    dwsig[:] += _dxw(z7, gsig_c); dbsig[:] += _bsum(gsig_c)
+    # dwsig = z7^T @ gsig^T with gsig held (1, T): contract T over dim0 x dim1
+    dwsig[:] += jax.lax.dot_general(z7, gsig_c, (((0,), (1,)), ((), ())),
+                                    preferred_element_type=F32)
+    dbsig[:] += jnp.sum(gsig_c.astype(F32), axis=1, keepdims=True)
     dwb[:] += _dxw(z7, dbvec.astype(cd)); dbb[:] += _bsum(dbvec)
     dwr1a[:] += _dxw(bvec, dr1)
     dwr1b[:] += _dxw(d, dr1);    dbr1[:] += _bsum(dr1)
@@ -312,9 +326,9 @@ def make_vanilla_fused(compute_dtype=jnp.bfloat16, tile: int = 512,
         x = _pad_rows(x, tile)
         d = _pad_rows(d, tile)
         grid = (x.shape[0] // tile,)
-        out_specs = [_col_spec(3, tile), _row_spec(tile, 1)]
+        out_specs = [_col_spec(3, tile), _col_spec(1, tile)]
         out_shape = [jax.ShapeDtypeStruct((3, x.shape[0]), F32),
-                     jax.ShapeDtypeStruct((x.shape[0], 1), F32)]
+                     jax.ShapeDtypeStruct((1, x.shape[0]), F32)]
         if store_residuals:
             for w in _act_widths(ws):
                 out_specs.append(_row_spec(tile, w))
@@ -333,7 +347,7 @@ def make_vanilla_fused(compute_dtype=jnp.bfloat16, tile: int = 512,
             compiler_params=_VMEM_LIMIT,
         )(x, d, *ws)
         rgb3, sig = outs[0], outs[1]
-        return (rgb3[:, :n], sig[:n, 0]), outs[2:]
+        return (rgb3[:, :n], sig[0, :n]), outs[2:]
 
     @jax.custom_vjp
     def fused(ws, enc_x, enc_d):
@@ -353,7 +367,7 @@ def make_vanilla_fused(compute_dtype=jnp.bfloat16, tile: int = 512,
         x = _pad_rows(x, tile)
         d = _pad_rows(d, tile)
         grgb = _pad_cols(g_rgb.astype(F32), tile)  # ROW-LAND (3, N)
-        gsig = _pad_rows(g_sigma.astype(F32)[:, None], tile)
+        gsig = _pad_cols(g_sigma.astype(F32).reshape(1, n), tile)
         grid = (x.shape[0] // tile,)
         extra_in, extra_specs = (), []
         kernel = _vanilla_bwd_kernel
@@ -368,7 +382,7 @@ def make_vanilla_fused(compute_dtype=jnp.bfloat16, tile: int = 512,
             grid=grid,
             in_specs=[_row_spec(tile, x.shape[1]),
                       _row_spec(tile, d.shape[1]),
-                      _col_spec(3, tile), _row_spec(tile, 1)]
+                      _col_spec(3, tile), _col_spec(1, tile)]
             + extra_specs
             + [_full_spec(w.shape) for w in wsc],
             out_specs=tuple(_full_spec(w.shape) for w in wsc),
@@ -430,7 +444,10 @@ def _prop_forward_tile(x, r):
     h2 = _relu(_dense(h1, w1, b1)).astype(cd)
     h3 = _relu(_dense(h2, w2, b2)).astype(cd)
     h4 = _relu(_dense(h3, w3, b3)).astype(cd)
-    out = _dense(h4, wo, bo)  # (T, 1) f32
+    # density head in ROW-LAND (1, T) — same rationale as the vanilla sigma
+    out = jax.lax.dot_general(wo[:], h4, (((0,), (1,)), ((), ())),
+                              preferred_element_type=F32) \
+        + bo[:].reshape(-1, 1)  # (1, T) f32
     return h1, h2, h3, h4, out
 
 
@@ -454,8 +471,12 @@ def _prop_bwd_tile(x, g, rest):
         for gref in grads:
             gref[:] = jnp.zeros_like(gref)
 
-    go = g.astype(cd)                    # (T, 1)
-    dh4 = jnp.where(h4.astype(F32) > 0, _dwt(go, wo), 0.0).astype(cd)
+    go = g.astype(cd)                    # ROW-LAND (1, T)
+    dh4 = jnp.where(
+        h4.astype(F32) > 0,
+        jax.lax.dot_general(go, wo[:], (((0,), (1,)), ((), ())),
+                            preferred_element_type=F32),
+        0.0).astype(cd)
     dh3 = jnp.where(h3.astype(F32) > 0, _dwt(dh4, w3), 0.0).astype(cd)
     dh2 = jnp.where(h2.astype(F32) > 0, _dwt(dh3, w2), 0.0).astype(cd)
     dh1 = jnp.where(h1.astype(F32) > 0, _dwt(dh2, w1), 0.0).astype(cd)
@@ -468,7 +489,9 @@ def _prop_bwd_tile(x, g, rest):
     dw1[:] += _dxw(h1, dh2); db1[:] += _bsum(dh2)
     dw2[:] += _dxw(h2, dh3); db2[:] += _bsum(dh3)
     dw3[:] += _dxw(h3, dh4); db3[:] += _bsum(dh4)
-    dwo[:] += _dxw(h4, go);  dbo[:] += _bsum(go)
+    dwo[:] += jax.lax.dot_general(h4, go, (((0,), (1,)), ((), ())),
+                                  preferred_element_type=F32)
+    dbo[:] += jnp.sum(go.astype(F32), axis=1, keepdims=True)
 
 
 @functools.lru_cache(maxsize=None)
@@ -495,12 +518,12 @@ def make_prop_fused(compute_dtype=jnp.bfloat16, tile: int = 512,
             grid=grid,
             in_specs=[_row_spec(tile, x.shape[1])]
             + [_full_spec(w.shape) for w in ws],
-            out_specs=_row_spec(tile, 1),
-            out_shape=jax.ShapeDtypeStruct((x.shape[0], 1), F32),
+            out_specs=_col_spec(1, tile),
+            out_shape=jax.ShapeDtypeStruct((1, x.shape[0]), F32),
             interpret=interpret,
             compiler_params=_VMEM_LIMIT,
         )(x, *ws)
-        return out[:n, 0]
+        return out[0, :n]
 
     @jax.custom_vjp
     def fused(ws, enc_x):
@@ -514,12 +537,12 @@ def make_prop_fused(compute_dtype=jnp.bfloat16, tile: int = 512,
         n = enc_x.shape[0]
         wsc, x = _prep(ws, enc_x)
         x = _pad_rows(x, tile)
-        gfull = _pad_rows(g.astype(F32)[:, None], tile)
+        gfull = _pad_cols(g.astype(F32).reshape(1, n), tile)
         grid = (x.shape[0] // tile,)
         grads = pl.pallas_call(
             _prop_bwd_kernel,
             grid=grid,
-            in_specs=[_row_spec(tile, x.shape[1]), _row_spec(tile, 1)]
+            in_specs=[_row_spec(tile, x.shape[1]), _col_spec(1, tile)]
             + [_full_spec(w.shape) for w in wsc],
             out_specs=tuple(_full_spec(w.shape) for w in wsc),
             out_shape=tuple(

@@ -606,7 +606,11 @@ def _dir_forward(ws, heads, noise, dirs3, mat, sigma, cd, l_max, use_srgb,
     else:
         rgb3, normal3 = _dir_glue_pure(ws, heads, noise, dirs3.T, mat, sigma,
                                        cd, l_max, use_srgb)
-    return rgb3, normal3, heads[:, 1:2]
+    # density passthrough in ROW-LAND (1, T): the (N, 1) T(8,128) output
+    # forced ~0.4 ms/step of external relayouts ((N,1)->(N,) reduce + the
+    # (R,P)->(N,1) cotangent copy, round-4 trace) — (1, N) shares the flat
+    # row-major order of the (R, P) consumer so both directions are free
+    return rgb3, normal3, heads[:, 1:2].T
 
 
 def _make_dir_fwd_kernel(cd, ide_level, use_srgb, rowland, hand_vjp=True):
@@ -622,7 +626,7 @@ def _make_dir_fwd_kernel(cd, ide_level, use_srgb, rowland, hand_vjp=True):
             sigma_ref[:], cd, l_max, use_srgb, rowland, hand_vjp=hand_vjp)
         rgb_ref[:] = rgb3      # (3, T) row-land
         nrm_ref[:] = normal3   # (3, T) row-land
-        den_ref[:] = density   # (T, 1)
+        den_ref[:] = density   # (1, T) row-land
 
     return kernel
 
@@ -779,14 +783,14 @@ def _make_dir_fused(cd, tile, interpret, ide_level, use_srgb,
                       _full_spec(ide_mat.shape), _full_spec(ide_sigma.shape)]
             + [_full_spec(w.shape) for w in wsc],
             out_specs=(_col_spec(3, tile), _col_spec(3, tile),
-                       _row_spec(tile, 1)),
+                       _col_spec(1, tile)),
             out_shape=(jax.ShapeDtypeStruct((3, h.shape[0]), F32),
                        jax.ShapeDtypeStruct((3, h.shape[0]), F32),
-                       jax.ShapeDtypeStruct((h.shape[0], 1), F32)),
+                       jax.ShapeDtypeStruct((1, h.shape[0]), F32)),
             interpret=interpret,
             compiler_params=_VMEM_LIMIT,
         )(h, nz, d, ide_mat, ide_sigma, *wsc)
-        return rgb3[:, :n], nrm[:, :n], den[:n, 0]
+        return rgb3[:, :n], nrm[:, :n], den[0, :n]
 
     @jax.custom_vjp
     def fused(ws, heads, noise, dirs):
@@ -804,7 +808,7 @@ def _make_dir_fused(cd, tile, interpret, ide_level, use_srgb,
         h, nz, d = _stage(heads, noise, dirs)
         grgb = _pad_cols(g_rgb.astype(F32), tile)
         gnrm = _pad_cols(g_normal.astype(F32), tile)
-        gden = _pad_rows(g_density.astype(F32).reshape(n, 1), tile)
+        gden = _pad_cols(g_density.astype(F32).reshape(1, n), tile)
         grid = (h.shape[0] // tile,)
         outs = pl.pallas_call(
             bwd_kernel,
@@ -812,7 +816,7 @@ def _make_dir_fused(cd, tile, interpret, ide_level, use_srgb,
             in_specs=[_row_spec(tile, h.shape[1]),
                       _row_spec(tile, nz.shape[1]), _col_spec(3, tile),
                       _col_spec(3, tile), _col_spec(3, tile),
-                      _row_spec(tile, 1),
+                      _col_spec(1, tile),
                       _full_spec(ide_mat.shape), _full_spec(ide_sigma.shape)]
             + [_full_spec(w.shape) for w in wsc],
             out_specs=(_row_spec(tile, h.shape[1]),)

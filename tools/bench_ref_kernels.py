@@ -8,15 +8,21 @@ tools/profile_step.py).  A/B's the directional-kernel glue variants
 """
 
 import argparse
+import functools
 import sys
 import time
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
 
+from nerf_tpu.ops.fused_mlp import (
+    F32, _VMEM_LIMIT, _col_spec, _full_spec, _pad_cols, _pad_rows, _row_spec,
+)
 from nerf_tpu.ops.ref_fused import (
-    N_REF_SPA_WS, _make_dir_fused, _make_spa_fused,
+    N_REF_DIR_WS, N_REF_SPA_WS, _dir_forward, _make_dir_fused,
+    _make_spa_fused, ide_tables,
     ref_directional_weights_from_params, ref_spatial_weights_from_params,
 )
 
@@ -36,6 +42,106 @@ def timeit_scan(name, body, init_carry):
     return dt
 
 
+def _dissect_dir_bwd(ws_dir, heads, noise, dirs, tile, ide_level=4,
+                     use_srgb=False):
+    """Time the directional BACKWARD kernel piecewise: where do 5.0 ms go?
+
+    Builds bwd-kernel variants that run only a SLICE of the work (recompute
+    only / d(heads) only / weight grads only / full) with identical staging,
+    so (full - parts) isolates the pullback overhead that isn't matmuls.
+    """
+    cd = jnp.bfloat16
+    l_max = int(ide_tables(ide_level)["l_max"])
+    tables = ide_tables(ide_level)
+    ide_mat = np.asarray(tables["mat"], np.float32)
+    ide_sigma = np.asarray(tables["sigma"], np.float32).reshape(1, -1)
+    n = heads.shape[0]
+
+    def make_kernel(mode):
+        def kernel(heads_ref, noise_ref, dirs_ref, grgb_ref, gnrm_ref,
+                   gden_ref, mat_ref, sigma_ref, *rest):
+            wrefs = rest[:N_REF_DIR_WS]
+            dheads_ref = rest[N_REF_DIR_WS]
+            grads = rest[N_REF_DIR_WS + 1:]
+            ws = tuple(r[:] for r in wrefs)
+            heads_t = heads_ref[:]
+
+            @pl.when(pl.program_id(0) == 0)
+            def _init():
+                for gref in grads:
+                    gref[:] = jnp.zeros_like(gref)
+
+            def full(ws_t, heads_tt):
+                return _dir_forward(ws_t, heads_tt, noise_ref[:],
+                                    dirs_ref[:], mat_ref[:], sigma_ref[:],
+                                    cd, l_max, use_srgb, True, hand_vjp=True)
+
+            t = heads_t.shape[0]
+            if mode == "recompute":
+                rgb3, normal3, density = full(ws, heads_t)
+                dheads_ref[:] = jnp.concatenate(
+                    [rgb3.T, normal3.T, density.T,
+                     jnp.zeros((t, heads_t.shape[1] - 7), F32)], axis=1)
+            elif mode == "dheads":
+                _, vjp_fn = jax.vjp(lambda h: full(ws, h), heads_t)
+                (dh,) = vjp_fn((grgb_ref[:], gnrm_ref[:], gden_ref[:]))
+                dheads_ref[:] = dh.astype(F32)
+            elif mode == "wgrads":
+                _, vjp_fn = jax.vjp(lambda w: full(w, heads_t), ws)
+                (dws,) = vjp_fn((grgb_ref[:], gnrm_ref[:], gden_ref[:]))
+                for gref, dw in zip(grads, dws):
+                    gref[:] += dw.astype(F32)
+                dheads_ref[:] = jnp.zeros_like(dheads_ref)
+            else:  # full
+                _, vjp_fn = jax.vjp(full, ws, heads_t)
+                dws, dh = vjp_fn((grgb_ref[:], gnrm_ref[:], gden_ref[:]))
+                dheads_ref[:] = dh.astype(F32)
+                for gref, dw in zip(grads, dws):
+                    gref[:] += dw.astype(F32)
+
+        return kernel
+
+    wsc = tuple(w.astype(F32) if w.shape[0] == 1 else w.astype(cd)
+                for w in ws_dir)
+    h = _pad_rows(heads.astype(F32), tile)
+    nz = _pad_rows(noise.astype(cd), tile)
+    d = _pad_cols(dirs.astype(F32), tile)
+    grgb = _pad_cols(jnp.ones((3, n), F32) * 1e-3, tile)
+    gnrm = _pad_cols(jnp.ones((3, n), F32) * 1e-3, tile)
+    gden = _pad_cols(jnp.ones((1, n), F32) * 1e-3, tile)
+    grid = (h.shape[0] // tile,)
+
+    for mode in ["recompute", "dheads", "wgrads", "full"]:
+        call = pl.pallas_call(
+            make_kernel(mode),
+            grid=grid,
+            in_specs=[_row_spec(tile, h.shape[1]),
+                      _row_spec(tile, nz.shape[1]), _col_spec(3, tile),
+                      _col_spec(3, tile), _col_spec(3, tile),
+                      _col_spec(1, tile),
+                      _full_spec(ide_mat.shape), _full_spec(ide_sigma.shape)]
+            + [_full_spec(w.shape) for w in wsc],
+            out_specs=(_row_spec(tile, h.shape[1]),)
+            + tuple(_full_spec(w.shape) for w in wsc),
+            out_shape=(jax.ShapeDtypeStruct(h.shape, F32),)
+            + tuple(jax.ShapeDtypeStruct(w.shape, F32) for w in wsc),
+            interpret=False,
+            compiler_params=_VMEM_LIMIT,
+        )
+
+        def body(c, call=call):
+            outs = call(h + 0.0 * c, nz, d, grgb, gnrm, gden,
+                        ide_mat, ide_sigma, *wsc)
+            return (jnp.sum(outs[0]) * 0.0 + c + 1.0).astype(jnp.float32)
+
+        try:
+            timeit_scan(f"dir bwd dissect[{mode}] (tile={tile})", body,
+                        jnp.float32(0))
+        except Exception as e:
+            print(f"dissect[{mode}] FAILED: {str(e).splitlines()[0][:160]}",
+                  file=sys.stderr)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=1024 * 193)
@@ -45,6 +151,8 @@ def main():
     ap.add_argument("--spatial", action="store_true")
     ap.add_argument("--no_dir", action="store_true",
                     help="skip the directional kernels")
+    ap.add_argument("--dissect", action="store_true",
+                    help="piecewise-time the directional backward")
     args = ap.parse_args()
 
     from nerf_tpu.train.config import PipelineConfig
@@ -70,6 +178,9 @@ def main():
         return x + 0.0 * c.astype(x.dtype)
 
     for tile in args.tiles:
+        if args.dissect:
+            _dissect_dir_bwd(ws_dir, heads, noise, dirs, tile)
+            continue
         if args.spatial:
             pos = enc[:, :3]
             bt = args.spa_bwd_tile
