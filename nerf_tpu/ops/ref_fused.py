@@ -83,6 +83,101 @@ def _dense_f32(h, w, b=None, cd=jnp.bfloat16):
     return out if b is None else out + b
 
 
+@functools.lru_cache(maxsize=None)
+def _cd_matmul_rules(cd):
+    """Custom-VJP matmul primitives whose PULLBACKS run in ``cd``.
+
+    jax.vjp's derived backward pulls the f32 cotangents of every f32-
+    accumulated pre-activation straight into the transposed matmuls, so 2/3
+    of the backward's MXU passes ran f32 x bf16 (measured: 24 of 38 large
+    dot_generals in the dir-backward jaxpr) — an f32 operand is a multi-pass
+    matmul on the MXU.  The hand-written vanilla backward (fused_mlp.py)
+    casts every delta to bf16 at the layer boundary; these rules give
+    jax.vjp the same numerics: cotangents cast to ``cd`` before BOTH
+    pullback matmuls, products f32-accumulated.  Weight cotangents round to
+    ``cd`` per tile (the grid accumulator stays f32); deltas already lived
+    in ``cd`` under the hand scheme, so the only new rounding is that
+    per-tile dw cast.
+
+    Three shapes cover every trunk/head matmul in this module:
+      dense:  (T, K) x (K, H) -> (T, H)   plain T-major layer
+      dotT0:  (K, T) x (K, H) -> (T, H)   row-land rows into the trunk
+      head3:  (O, C) x (T, O) -> (C, T)   row-land output head
+    """
+
+    @jax.custom_vjp
+    def dense(h, w):
+        return jnp.dot(h, w, preferred_element_type=F32)
+
+    def dense_fwd(h, w):
+        return dense(h, w), (h, w)
+
+    def dense_bwd(res, g):
+        h, w = res
+        gc = g.astype(cd)
+        dh = jax.lax.dot_general(gc, w, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=F32).astype(h.dtype)
+        dw = jax.lax.dot_general(h, gc, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=F32).astype(w.dtype)
+        return dh, dw
+
+    dense.defvjp(dense_fwd, dense_bwd)
+
+    @jax.custom_vjp
+    def dotT0(rowT, w):
+        return jax.lax.dot_general(rowT, w, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=F32)
+
+    def dotT0_fwd(rowT, w):
+        return dotT0(rowT, w), (rowT, w)
+
+    def dotT0_bwd(res, g):
+        rowT, w = res
+        gc = g.astype(cd)
+        drow = jax.lax.dot_general(w, gc, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=F32).astype(rowT.dtype)
+        dw = jax.lax.dot_general(rowT, gc, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=F32).astype(w.dtype)
+        return drow, dw
+
+    dotT0.defvjp(dotT0_fwd, dotT0_bwd)
+
+    @jax.custom_vjp
+    def head3(wh, z):
+        return jax.lax.dot_general(wh, z, (((0,), (1,)), ((), ())),
+                                   preferred_element_type=F32)
+
+    def head3_fwd(wh, z):
+        return head3(wh, z), (wh, z)
+
+    def head3_bwd(res, g):
+        wh, z = res
+        gc = g.astype(cd)
+        dwh = jax.lax.dot_general(z, gc, (((0,), (1,)), ((), ())),
+                                  preferred_element_type=F32).astype(wh.dtype)
+        dz = jax.lax.dot_general(gc, wh, (((0,), (1,)), ((), ())),
+                                 preferred_element_type=F32).astype(z.dtype)
+        return dwh, dz
+
+    head3.defvjp(head3_fwd, head3_bwd)
+    return dense, dotT0, head3
+
+
+def _make_dense(cd, bwd_cd):
+    """The layer matmul used by the pure trunk functions: bwd_cd picks the
+    cd-pullback custom rule; False keeps jax.vjp's derived (f32-pullback)
+    backward as the A/B baseline."""
+    if not bwd_cd:
+        return lambda h, w, b=None: _dense_f32(h, w, b, cd)
+    dense, _, _ = _cd_matmul_rules(cd)
+
+    def layer(h, w, b=None):
+        out = dense(h.astype(cd), w)
+        return out if b is None else out + b
+
+    return layer
+
+
 def _relu_cd(z, cd):
     """relu in f32, activation resident in ``cd``.
 
@@ -94,21 +189,22 @@ def _relu_cd(z, cd):
     return jnp.where(z > 0.0, z, 0.0).astype(cd)
 
 
-def _spa_pure(ws, enc, cd):
+def _spa_pure(ws, enc, cd, bwd_cd=False):
     """Spatial trunk + raw heads, pure-array (traceable for jax.vjp)."""
     (w0, b0, w1, b1, w2, b2, w3, b3, w4a, w4b, b4, w5, b5, w6, b6,
      w7, b7, wrt, brt, wnct, bnct, wbn, bbn) = ws
-    h1 = _relu_cd(_dense_f32(enc, w0, b0, cd), cd)
-    h2 = _relu_cd(_dense_f32(h1, w1, b1, cd), cd)
-    h3 = _relu_cd(_dense_f32(h2, w2, b2, cd), cd)
-    h4 = _relu_cd(_dense_f32(h3, w3, b3, cd), cd)
-    z5 = _relu_cd(_dense_f32(enc, w4a, None, cd) + _dense_f32(h4, w4b, b4, cd), cd)
-    z6 = _relu_cd(_dense_f32(z5, w5, b5, cd), cd)
-    z7 = _relu_cd(_dense_f32(z6, w6, b6, cd), cd)
-    inter = _relu_cd(_dense_f32(z7, w7, b7, cd), cd)
-    rho_tau = _dense_f32(inter, wrt, brt, cd)
-    nct = _dense_f32(inter, wnct, bnct, cd)
-    bn = _dense_f32(inter, wbn, bbn, cd)
+    dense = _make_dense(cd, bwd_cd)
+    h1 = _relu_cd(dense(enc, w0, b0), cd)
+    h2 = _relu_cd(dense(h1, w1, b1), cd)
+    h3 = _relu_cd(dense(h2, w2, b2), cd)
+    h4 = _relu_cd(dense(h3, w3, b3), cd)
+    z5 = _relu_cd(dense(enc, w4a) + dense(h4, w4b, b4), cd)
+    z6 = _relu_cd(dense(z5, w5, b5), cd)
+    z7 = _relu_cd(dense(z6, w6, b6), cd)
+    inter = _relu_cd(dense(z7, w7, b7), cd)
+    rho_tau = dense(inter, wrt, brt)
+    nct = dense(inter, wnct, bnct)
+    bn = dense(inter, wbn, bbn)
     return rho_tau, nct, bn
 
 
@@ -443,7 +539,7 @@ def _ide_pure_rowland(xyzT, kappa_invT, mat, sigma_col, l_max,
 
 
 def _dir_glue_pure_rowland(ws_dir, heads, noise, dirsT, mat, sigma_col, cd,
-                           l_max, use_srgb, hand_vjp=False):
+                           l_max, use_srgb, hand_vjp=False, bwd_cd=False):
     """Directional branch with ROW-LAND glue: same math as _dir_glue_pure,
     but every narrow per-point chain runs with points along lanes.
 
@@ -475,32 +571,38 @@ def _dir_glue_pure_rowland(ws_dir, heads, noise, dirsT, mat, sigma_col, cd,
     (w0, b0, w1, b1, w2, b2, w3, b3, w4a, w4b, b4, w5, b5, w6, b6,
      w7, b7, wh, bh) = ws_dir
     nb = b_vec.shape[1]
+    dense = _make_dense(cd, bwd_cd)
+    if bwd_cd:
+        _, dotT0, head3 = _cd_matmul_rules(cd)
+    else:
+        def dotT0(rowT, w):
+            return jax.lax.dot_general(rowT, w, (((0,), (0,)), ((), ())),
+                                       preferred_element_type=F32)
+
+        def head3(w, z):
+            return jax.lax.dot_general(w, z, (((0,), (1,)), ((), ())),
+                                       preferred_element_type=F32)
 
     def split_in(w, t_major, rowT, bias):
         """[b_vec | wr_ide | d.n] @ w without materializing the concat."""
-        z = jnp.dot(t_major, w[:nb], preferred_element_type=F32)
-        z += jax.lax.dot_general(rowT, w[nb:],
-                                 (((0,), (0,)), ((), ())),
-                                 preferred_element_type=F32)
+        z = dense(t_major, w[:nb]) + dotT0(rowT, w[nb:])
         return z if bias is None else z + bias
 
     h1 = _relu_cd(split_in(w0, b_vec, rowsT, b0), cd)
-    h2 = _relu_cd(_dense_f32(h1, w1, b1, cd), cd)
-    h3 = _relu_cd(_dense_f32(h2, w2, b2, cd), cd)
-    h4 = _relu_cd(_dense_f32(h3, w3, b3, cd), cd)
+    h2 = _relu_cd(dense(h1, w1, b1), cd)
+    h3 = _relu_cd(dense(h2, w2, b2), cd)
+    h4 = _relu_cd(dense(h3, w3, b3), cd)
     z5 = _relu_cd(split_in(w4a, b_vec, rowsT, None)
-                  + _dense_f32(h4, w4b, b4, cd), cd)
-    z6 = _relu_cd(_dense_f32(z5, w5, b5, cd), cd)
-    z7 = _relu_cd(_dense_f32(z6, w6, b6, cd), cd)
-    z8 = _relu_cd(_dense_f32(z7, w7, b7, cd), cd)
+                  + dense(h4, w4b, b4), cd)
+    z6 = _relu_cd(dense(z5, w5, b5), cd)
+    z7 = _relu_cd(dense(z6, w6, b6), cd)
+    z8 = _relu_cd(dense(z7, w7, b7), cd)
     # rgb TAIL in row-land too: the head matmul emits (3, T) directly
     # (contract wh dim0 x z8 dim1 — the MXU streams either orientation), so
     # the sigmoid/tint/diffuse chains run at full lanes instead of 3/128,
     # and rgb crosses the kernel boundary (3, T) straight into the
     # row-land composite — no external (N, 3) transpose
-    specT = jax.nn.sigmoid(jax.lax.dot_general(
-        wh, z8.astype(cd), (((0,), (1,)), ((), ())),
-        preferred_element_type=F32) + bh.reshape(-1, 1))
+    specT = jax.nn.sigmoid(head3(wh, z8.astype(cd)) + bh.reshape(-1, 1))
     specularT = specT * jax.nn.sigmoid(heads[:, 8:11].T)
     if use_srgb:
         rgb3 = _srgb_pure(specularT + jax.nn.sigmoid(
@@ -513,7 +615,7 @@ def _dir_glue_pure_rowland(ws_dir, heads, noise, dirsT, mat, sigma_col, cd,
 SPA_HEAD_DIM = 2 + 9 + 128
 
 
-def _make_spa_fwd_kernel(cd, need_grad):
+def _make_spa_fwd_kernel(cd, need_grad, bwd_cd=True):
     def kernel(enc_ref, *rest):
         if need_grad:
             pos_ref, pew_ref, peb_ref = rest[:3]
@@ -539,7 +641,7 @@ def _make_spa_fwd_kernel(cd, need_grad):
                 # pullback never runs their transposed matmuls (concrete
                 # zero cotangents are real arrays — the (T, 128) @ (128, H)
                 # bottleneck-head zero-matmul alone is ~0.13 forward)
-                rho_tau, nct, bn = _spa_pure(ws, e, cd)
+                rho_tau, nct, bn = _spa_pure(ws, e, cd, bwd_cd=bwd_cd)
                 return rho_tau[:, 1:2], (rho_tau, nct, bn)
 
             density, vjp_fn, (rho_tau, nct, bn) = jax.vjp(
@@ -562,7 +664,7 @@ def _make_spa_fwd_kernel(cd, need_grad):
     return kernel
 
 
-def _make_spa_bwd_kernel(cd):
+def _make_spa_bwd_kernel(cd, bwd_cd=True):
     def kernel(enc_ref, g_ref, *rest):
         wrefs, grads = rest[:N_REF_SPA_WS], rest[N_REF_SPA_WS:]
         ws = tuple(r[:] for r in wrefs)
@@ -574,7 +676,7 @@ def _make_spa_bwd_kernel(cd):
                 gref[:] = jnp.zeros_like(gref)
 
         def full(ws_t):
-            rho_tau, nct, bn = _spa_pure(ws_t, enc, cd)
+            rho_tau, nct, bn = _spa_pure(ws_t, enc, cd, bwd_cd=bwd_cd)
             return jnp.concatenate([rho_tau, nct, bn], axis=1)
 
         _, vjp_fn = jax.vjp(full, ws)
@@ -586,7 +688,7 @@ def _make_spa_bwd_kernel(cd):
 
 
 def _dir_forward(ws, heads, noise, dirs3, mat, sigma, cd, l_max, use_srgb,
-                 rowland, hand_vjp=False):
+                 rowland, hand_vjp=False, bwd_cd=False):
     """Dispatch between the T-major and row-land glue variants.
 
     ``dirs3`` is ROW-LAND (3, T); returns (rgb3 (3, T), normal3 (3, T),
@@ -602,7 +704,8 @@ def _dir_forward(ws, heads, noise, dirs3, mat, sigma, cd, l_max, use_srgb,
     if rowland:
         rgb3, normal3 = _dir_glue_pure_rowland(ws, heads, noise, dirs3, mat,
                                                sigma.T, cd, l_max, use_srgb,
-                                               hand_vjp=hand_vjp)
+                                               hand_vjp=hand_vjp,
+                                               bwd_cd=bwd_cd)
     else:
         rgb3, normal3 = _dir_glue_pure(ws, heads, noise, dirs3.T, mat, sigma,
                                        cd, l_max, use_srgb)
@@ -613,7 +716,8 @@ def _dir_forward(ws, heads, noise, dirs3, mat, sigma, cd, l_max, use_srgb,
     return rgb3, normal3, heads[:, 1:2].T
 
 
-def _make_dir_fwd_kernel(cd, ide_level, use_srgb, rowland, hand_vjp=True):
+def _make_dir_fwd_kernel(cd, ide_level, use_srgb, rowland, hand_vjp=True,
+                         bwd_cd=True):
     # hand_vjp picks the forward math too (recurrence vs polar) so the
     # forward kernel and the backward kernel's recompute agree bit-for-bit
     l_max = int(ide_tables(ide_level)["l_max"])
@@ -623,7 +727,8 @@ def _make_dir_fwd_kernel(cd, ide_level, use_srgb, rowland, hand_vjp=True):
         rgb_ref, nrm_ref, den_ref = rest[N_REF_DIR_WS:N_REF_DIR_WS + 3]
         rgb3, normal3, density = _dir_forward(
             ws, heads_ref[:], noise_ref[:], dirs_ref[:], mat_ref[:],
-            sigma_ref[:], cd, l_max, use_srgb, rowland, hand_vjp=hand_vjp)
+            sigma_ref[:], cd, l_max, use_srgb, rowland, hand_vjp=hand_vjp,
+            bwd_cd=bwd_cd)
         rgb_ref[:] = rgb3      # (3, T) row-land
         nrm_ref[:] = normal3   # (3, T) row-land
         den_ref[:] = density   # (1, T) row-land
@@ -631,7 +736,8 @@ def _make_dir_fwd_kernel(cd, ide_level, use_srgb, rowland, hand_vjp=True):
     return kernel
 
 
-def _make_dir_bwd_kernel(cd, ide_level, use_srgb, rowland, hand_vjp=True):
+def _make_dir_bwd_kernel(cd, ide_level, use_srgb, rowland, hand_vjp=True,
+                         bwd_cd=True):
     l_max = int(ide_tables(ide_level)["l_max"])
 
     def kernel(heads_ref, noise_ref, dirs_ref, grgb_ref, gnrm_ref, gden_ref,
@@ -652,7 +758,8 @@ def _make_dir_bwd_kernel(cd, ide_level, use_srgb, rowland, hand_vjp=True):
         def full(ws_t, heads_t):
             return _dir_forward(ws_t, heads_t, noise_ref[:], dirs_ref[:],
                                 mat_ref[:], sigma_ref[:], cd,
-                                l_max, use_srgb, rowland, hand_vjp=hand_vjp)
+                                l_max, use_srgb, rowland, hand_vjp=hand_vjp,
+                                bwd_cd=bwd_cd)
 
         _, vjp_fn = jax.vjp(full, ws, heads)
         dws, dheads = vjp_fn((grgb_ref[:], gnrm_ref[:], gden_ref[:]))
@@ -664,14 +771,15 @@ def _make_dir_bwd_kernel(cd, ide_level, use_srgb, rowland, hand_vjp=True):
 
 
 @functools.lru_cache(maxsize=None)
-def _make_spa_fused(cd, tile, interpret, need_grad, bwd_tile=None):
+def _make_spa_fused(cd, tile, interpret, need_grad, bwd_tile=None,
+                    bwd_cd=True):
     # backward tile: at least 512 (13% faster than 256, round 3), and with
     # the raised VMEM ceiling it follows the forward tile up to 1024 (5.56
     # vs 5.88 ms fwd+bwd at 1024 vs 512, round-3 sweep)
     bwd_tile = (tile if interpret else max(tile, 512)) if bwd_tile is None \
         else bwd_tile
-    fwd_kernel = _make_spa_fwd_kernel(cd, need_grad)
-    bwd_kernel = _make_spa_bwd_kernel(cd)
+    fwd_kernel = _make_spa_fwd_kernel(cd, need_grad, bwd_cd=bwd_cd)
+    bwd_kernel = _make_spa_bwd_kernel(cd, bwd_cd=bwd_cd)
 
     def _prep(ws):
         return tuple(w.astype(F32) if w.shape[0] == 1 else w.astype(cd)
@@ -746,11 +854,13 @@ def _make_spa_fused(cd, tile, interpret, need_grad, bwd_tile=None):
 
 @functools.lru_cache(maxsize=None)
 def _make_dir_fused(cd, tile, interpret, ide_level, use_srgb,
-                    rowland=True, ide_vjp="hand"):
+                    rowland=True, ide_vjp="hand", bwd_cd=True):
     fwd_kernel = _make_dir_fwd_kernel(cd, ide_level, use_srgb, rowland,
-                                      hand_vjp=(ide_vjp == "hand"))
+                                      hand_vjp=(ide_vjp == "hand"),
+                                      bwd_cd=bwd_cd)
     bwd_kernel = _make_dir_bwd_kernel(cd, ide_level, use_srgb, rowland,
-                                      hand_vjp=(ide_vjp == "hand"))
+                                      hand_vjp=(ide_vjp == "hand"),
+                                      bwd_cd=bwd_cd)
     tables = ide_tables(ide_level)
     ide_mat = np.asarray(tables["mat"], np.float32)
     ide_sigma = np.asarray(tables["sigma"], np.float32).reshape(1, -1)
@@ -839,7 +949,7 @@ def make_ref_fused(compute_dtype=jnp.bfloat16, tile: int = 256,
                    interpret: bool = False, need_grad: bool = True,
                    ide_level: int = 4, use_srgb: bool = False,
                    rowland: bool = True, dir_tile: int = None,
-                   ide_vjp: str = "hand"):
+                   ide_vjp: str = "hand", bwd_cd: bool = True):
     """Fused whole-Ref-NeRF fine forward, split at the heads boundary.
 
     (ws, enc (N, Dx), dirs3 (3, N), noise (N, 128), pos (N, 3)) ->
@@ -868,6 +978,13 @@ def make_ref_fused(compute_dtype=jnp.bfloat16, tile: int = 256,
     create_graph=False parity).  Weight grads flow; enc/noise/dirs/pos
     cotangents are zero (no parameter gradient flows through them — depths
     detached, utils.py:36).
+
+    ``bwd_cd=True`` (default): the trunk/head matmuls carry custom VJPs that
+    cast cotangents to ``compute_dtype`` before the pullback matmuls — the
+    same numerics the hand-written vanilla backward uses (fused_mlp.py).
+    Without it, jax.vjp pulls f32 cotangents into the transposed matmuls and
+    2/3 of the backward MXU passes run f32 x bf16 multi-pass (see
+    _cd_matmul_rules).
     """
     cd = compute_dtype
     # with the raised per-kernel VMEM ceiling (_VMEM_LIMIT) tile=1024 fits
@@ -878,9 +995,9 @@ def make_ref_fused(compute_dtype=jnp.bfloat16, tile: int = 256,
     # test batches to 1024 rows just slows the interpreter ~8x
     dir_tile = ((tile if interpret else 1024) if rowland else tile) \
         if dir_tile is None else dir_tile
-    spa = _make_spa_fused(cd, tile, interpret, need_grad)
+    spa = _make_spa_fused(cd, tile, interpret, need_grad, bwd_cd=bwd_cd)
     dr = _make_dir_fused(cd, dir_tile, interpret, ide_level, use_srgb,
-                         rowland, ide_vjp=ide_vjp)
+                         rowland, ide_vjp=ide_vjp, bwd_cd=bwd_cd)
 
     def fused(ws, enc, dirs, noise, pos=None):
         if need_grad and pos is None:

@@ -142,6 +142,149 @@ def _dissect_dir_bwd(ws_dir, heads, noise, dirs, tile, ide_level=4,
                   file=sys.stderr)
 
 
+def _dissect_dir_fwd(ws_dir, heads, noise, dirs, tile, ide_level=4):
+    """Time the directional FORWARD kernel piecewise: the standalone forward
+    measures ~3.7 ms against a ~1.1 ms matmul ideal — which glue stage owns
+    the difference?  Stages build on each other with identical staging:
+
+      trunk    — trunk matmuls only; the 39 IDE/d.n rows are a broadcast of
+                 a noise scalar (not constant-foldable, no glue compute)
+      reflect  — + normalize/negate normal, d.n, reflection, roughness
+                 (row-land (3,T)/(1,T) chains); IDE rows still fake
+      vander   — + the z-Vandermonde recurrence and its mat contraction
+      polar    — + the complex-power recurrence (full IDE, incl. atten)
+      full     — + the real rgb tail glue (sigmoid tint/diffuse, (3,T) out)
+    """
+    from nerf_tpu.ops.ref_fused import (
+        _glue_heads, _ide_pure_rowland, _polar_powers_rowland, _relu_cd,
+        _vander_z_rowland,
+    )
+
+    cd = jnp.bfloat16
+    tables = ide_tables(ide_level)
+    l_max = int(tables["l_max"])
+    ide_mat = np.asarray(tables["mat"], np.float32)
+    ide_sigma = np.asarray(tables["sigma"], np.float32).reshape(1, -1)
+    n = heads.shape[0]
+    n_ide = 2 * ide_mat.shape[1]
+
+    def make_kernel(stage):
+        def kernel(heads_ref, noise_ref, dirs_ref, rows_ref, mat_ref,
+                   sigma_ref, *rest):
+            ws = tuple(r[:] for r in rest[:N_REF_DIR_WS])
+            rgb_ref, nrm_ref, den_ref = rest[N_REF_DIR_WS:]
+            heads_t = heads_ref[:]
+            dirsT = dirs_ref[:]
+            t = heads_t.shape[0]
+
+            if stage == "trunk":
+                normalT = dirsT
+                rowsT = rows_ref[:]
+            else:
+                normal_rawT = heads_t[:, 2:5].T
+                normT = jnp.sqrt(jnp.sum(normal_rawT * normal_rawT, axis=0,
+                                         keepdims=True) + 1e-20)
+                normalT = -normal_rawT / (normT + 1e-7)
+                d_dot_nT = jnp.sum(dirsT * normalT, axis=0, keepdims=True)
+                reflectT = dirsT - 2.0 * d_dot_nT * normalT
+                roughnessT = jax.nn.softplus(heads_t[:, 0:1].T - 1.0)
+                if stage == "reflect":
+                    ideT = (rows_ref[:n_ide]
+                            + jnp.concatenate([reflectT, roughnessT,
+                                               jnp.zeros((n_ide - 4, t),
+                                                         F32)], axis=0))
+                elif stage == "vander":
+                    vzT = _vander_z_rowland(l_max)(reflectT[2:3])
+                    vz_matT = jax.lax.dot_general(
+                        mat_ref[:], vzT, (((0,), (0,)), ((), ())),
+                        preferred_element_type=F32)
+                    atten = jnp.exp(-sigma_ref[:].T * roughnessT)
+                    half = vz_matT * atten
+                    ideT = jnp.concatenate([half, half], axis=0)
+                else:  # polar / full
+                    ideT = _ide_pure_rowland(reflectT, roughnessT, mat_ref[:],
+                                             sigma_ref[:].T, l_max,
+                                             hand_vjp=True)
+                rowsT = jnp.concatenate([ideT, d_dot_nT], axis=0)
+
+            b_vec = (heads_t[:, 11:] + noise_ref[:]).astype(cd)
+            rowsTc = rowsT.astype(cd)
+            (w0, b0, w1, b1, w2, b2, w3, b3, w4a, w4b, b4, w5, b5, w6, b6,
+             w7, b7, wh, bh) = ws
+            nb = b_vec.shape[1]
+
+            def split_in(w, bias):
+                z = jnp.dot(b_vec, w[:nb], preferred_element_type=F32)
+                z += jax.lax.dot_general(rowsTc, w[nb:],
+                                         (((0,), (0,)), ((), ())),
+                                         preferred_element_type=F32)
+                return z if bias is None else z + bias
+
+            h1 = _relu_cd(split_in(w0, b0), cd)
+            h2 = _relu_cd(jnp.dot(h1, w1, preferred_element_type=F32) + b1, cd)
+            h3 = _relu_cd(jnp.dot(h2, w2, preferred_element_type=F32) + b2, cd)
+            h4 = _relu_cd(jnp.dot(h3, w3, preferred_element_type=F32) + b3, cd)
+            z5 = _relu_cd(split_in(w4a, None)
+                          + jnp.dot(h4, w4b, preferred_element_type=F32) + b4,
+                          cd)
+            z6 = _relu_cd(jnp.dot(z5, w5, preferred_element_type=F32) + b5, cd)
+            z7 = _relu_cd(jnp.dot(z6, w6, preferred_element_type=F32) + b6, cd)
+            z8 = _relu_cd(jnp.dot(z7, w7, preferred_element_type=F32) + b7, cd)
+            specT = jax.nn.sigmoid(jax.lax.dot_general(
+                wh, z8.astype(cd), (((0,), (1,)), ((), ())),
+                preferred_element_type=F32) + bh.reshape(-1, 1))
+            if stage == "full":
+                specularT = specT * jax.nn.sigmoid(heads_t[:, 8:11].T)
+                rgb3 = specularT + jax.nn.sigmoid(heads_t[:, 5:8].T)
+            else:
+                rgb3 = specT
+            rgb_ref[:] = rgb3
+            nrm_ref[:] = normalT
+            den_ref[:] = heads_t[:, 1:2].T
+
+        return kernel
+
+    wsc = tuple(w.astype(F32) if w.shape[0] == 1 else w.astype(cd)
+                for w in ws_dir)
+    h = _pad_rows(heads.astype(F32), tile)
+    nz = _pad_rows(noise.astype(cd), tile)
+    d = _pad_cols(dirs.astype(F32), tile)
+    rows_in = _pad_cols(
+        jax.random.normal(jax.random.PRNGKey(9), (n_ide + 1, n), F32) * 0.1,
+        tile)
+    grid = (h.shape[0] // tile,)
+
+    for stage in ["trunk", "reflect", "vander", "polar", "full"]:
+        call = pl.pallas_call(
+            make_kernel(stage),
+            grid=grid,
+            in_specs=[_row_spec(tile, h.shape[1]),
+                      _row_spec(tile, nz.shape[1]), _col_spec(3, tile),
+                      _col_spec(n_ide + 1, tile),
+                      _full_spec(ide_mat.shape), _full_spec(ide_sigma.shape)]
+            + [_full_spec(w.shape) for w in wsc],
+            out_specs=(_col_spec(3, tile), _col_spec(3, tile),
+                       _col_spec(1, tile)),
+            out_shape=(jax.ShapeDtypeStruct((3, h.shape[0]), F32),
+                       jax.ShapeDtypeStruct((3, h.shape[0]), F32),
+                       jax.ShapeDtypeStruct((1, h.shape[0]), F32)),
+            interpret=False,
+            compiler_params=_VMEM_LIMIT,
+        )
+
+        def body(c, call=call):
+            outs = call(h, nz + 0.0 * c.astype(cd), d, rows_in, ide_mat,
+                        ide_sigma, *wsc)
+            return (jnp.sum(outs[0]) * 0.0 + c + 1.0).astype(jnp.float32)
+
+        try:
+            timeit_scan(f"dir fwd dissect[{stage}] (tile={tile})", body,
+                        jnp.float32(0))
+        except Exception as e:
+            print(f"fwd dissect[{stage}] FAILED: "
+                  f"{str(e).splitlines()[0][:160]}", file=sys.stderr)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=1024 * 193)
@@ -153,6 +296,11 @@ def main():
                     help="skip the directional kernels")
     ap.add_argument("--dissect", action="store_true",
                     help="piecewise-time the directional backward")
+    ap.add_argument("--dissect_fwd", action="store_true",
+                    help="piecewise-time the directional forward glue")
+    ap.add_argument("--ab_bwd_cd", action="store_true",
+                    help="A/B only the cd-cotangent pullback rule "
+                         "(bwd_cd False vs True) on the shipping variants")
     args = ap.parse_args()
 
     from nerf_tpu.train.config import PipelineConfig
@@ -178,37 +326,50 @@ def main():
         return x + 0.0 * c.astype(x.dtype)
 
     for tile in args.tiles:
+        if args.dissect_fwd:
+            _dissect_dir_fwd(ws_dir, heads, noise, dirs, tile)
+            continue
         if args.dissect:
             _dissect_dir_bwd(ws_dir, heads, noise, dirs, tile)
             continue
         if args.spatial:
             pos = enc[:, :3]
             bt = args.spa_bwd_tile
-            spa = _make_spa_fused(jnp.bfloat16, tile, False, True,
-                                  bwd_tile=bt)
-            timeit_scan(f"spa fwd (tile={tile})", lambda c: jnp.sum(
-                spa(ws_spa, chain(enc, c), pos)[0]), jnp.float32(0))
+            for bwd_cd in ([False, True] if args.ab_bwd_cd else [True]):
+                spa = _make_spa_fused(jnp.bfloat16, tile, False, True,
+                                      bwd_tile=bt, bwd_cd=bwd_cd)
+                bctag = f"bwd_cd={int(bwd_cd)}"
+                timeit_scan(f"spa fwd ({bctag}, tile={tile})",
+                            lambda c, spa=spa: jnp.sum(
+                                spa(ws_spa, chain(enc, c), pos)[0]),
+                            jnp.float32(0))
 
-            def spa_fb(c):
-                def loss(ws):
-                    h, _ = spa(ws, chain(enc, c), pos)
-                    return jnp.sum(h * 1e-3)
-                gws = jax.grad(loss)(ws_spa)
-                return sum(jnp.sum(x) for x in gws).astype(jnp.float32)
-            try:
-                timeit_scan(f"spa fwd+bwd (tile={tile}, bwd={bt or 512})",
-                            spa_fb, jnp.float32(0))
-            except Exception as e:
-                print(f"spa fwd+bwd (tile={tile}, bwd={bt or 512}) FAILED: "
-                      f"{str(e).splitlines()[0][:160]}", file=sys.stderr)
+                def spa_fb(c, spa=spa):
+                    def loss(ws):
+                        h, _ = spa(ws, chain(enc, c), pos)
+                        return jnp.sum(h * 1e-3)
+                    gws = jax.grad(loss)(ws_spa)
+                    return sum(jnp.sum(x) for x in gws).astype(jnp.float32)
+                try:
+                    timeit_scan(f"spa fwd+bwd ({bctag}, tile={tile}, "
+                                f"bwd={bt or 512})", spa_fb, jnp.float32(0))
+                except Exception as e:
+                    print(f"spa fwd+bwd ({bctag}, tile={tile}) FAILED: "
+                          f"{str(e).splitlines()[0][:160]}", file=sys.stderr)
 
-        dir_variants = [] if args.no_dir else [
-            (False, "auto"), (True, "auto"), (True, "hand")]
-        for rowland, ide_vjp in dir_variants:
-            tag = ("rowland" if rowland else "tmajor") + f"/{ide_vjp}"
+        if args.no_dir:
+            dir_variants = []
+        elif args.ab_bwd_cd:
+            dir_variants = [(True, "hand", False), (True, "hand", True)]
+        else:
+            dir_variants = [(False, "auto", False), (True, "auto", False),
+                            (True, "hand", False), (True, "hand", True)]
+        for rowland, ide_vjp, bwd_cd in dir_variants:
+            tag = (("rowland" if rowland else "tmajor") + f"/{ide_vjp}"
+                   + f"/bwd_cd={int(bwd_cd)}")
             try:
                 dr = _make_dir_fused(jnp.bfloat16, tile, False, 4, False,
-                                     rowland, ide_vjp=ide_vjp)
+                                     rowland, ide_vjp=ide_vjp, bwd_cd=bwd_cd)
                 timeit_scan(f"dir fwd ({tag}, tile={tile})", lambda c: jnp.sum(
                     dr(ws_dir, chain(heads, c), noise, dirs)[0]),
                     jnp.float32(0))
