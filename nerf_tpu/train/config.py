@@ -75,6 +75,14 @@ class PipelineConfig:
     #              round 3) — the default
     #   "hybrid" — Pallas spatial kernel + XLA directional branch (35.1k)
     ref_kernels: str = "all"
+    # Vanilla/mip fine-kernel backward strategy: False = recompute-form
+    # backward (re-runs the forward matmuls in-kernel), True = the forward
+    # stores the 9 bf16 tile activations to HBM and the backward streams
+    # them back.  Round 4 re-measured the A/B with a DCE-corrected harness
+    # (tools/bench_vanilla_kernels — the earlier "recompute wins" number
+    # had XLA dead-code-eliminating the forward custom call): true fwd+bwd
+    # on v5e at tile=1024 is 4.37 ms residual vs 4.82 ms recompute.
+    store_residuals: bool = True
     # The reference's coarse_grad_select (ref_model.py:108-117) is off by
     # one: its selector is built over the TRUNCATED length (192) instead of
     # the pre-truncation 193, so it treats the last FINE sample as coarse

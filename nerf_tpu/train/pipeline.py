@@ -171,7 +171,8 @@ def _apply_vanilla(nerf: VanillaNeRF, params, pos, dirs, cfg: PipelineConfig,
     # fuses into the PE sin fusion
     enc_d = _ray_dir_encoding(
         nerf, jax.lax.stop_gradient(dirs)).astype(cd).reshape(r * p, -1)
-    fused = ops.make_vanilla_fused(*_fused_kernel_args(cfg))
+    fused = ops.make_vanilla_fused(*_fused_kernel_args(cfg),
+                                   store_residuals=cfg.store_residuals)
     rgb3, sigma = fused(ops.vanilla_weights_from_params(params), enc_x, enc_d)
     return rgb3.reshape(3, r, p), sigma.reshape(r, p)
 

@@ -348,8 +348,13 @@ def main():
                     def loss(ws):
                         h, _ = spa(ws, chain(enc, c), pos)
                         return jnp.sum(h * 1e-3)
-                    gws = jax.grad(loss)(ws_spa)
-                    return sum(jnp.sum(x) for x in gws).astype(jnp.float32)
+                    # value_and_grad keeps the forward custom call live —
+                    # under jax.grad the primal feeds only the discarded
+                    # value and XLA DCEs the whole forward kernel (the
+                    # pre-2026-08-19 "fwd+bwd" numbers were backward-only)
+                    val, gws = jax.value_and_grad(loss)(ws_spa)
+                    return (val + sum(jnp.sum(x) for x in gws)).astype(
+                        jnp.float32)
                 try:
                     timeit_scan(f"spa fwd+bwd ({bctag}, tile={tile}, "
                                 f"bwd={bt or 512})", spa_fb, jnp.float32(0))
@@ -380,9 +385,11 @@ def main():
                         return jnp.sum(rgb * g6[:, :3].T) \
                             + jnp.sum(normal * g6[:, 3:].T) \
                             + jnp.sum(density) * 1e-3
-                    gws, gh = jax.grad(loss, argnums=(0, 1))(
-                        ws_dir, chain(heads, c))
-                    return (sum(jnp.sum(x) for x in gws)
+                    # value_and_grad keeps the forward kernel live (see
+                    # spa_fb — jax.grad alone let XLA DCE the forward)
+                    (val, (gws, gh)) = jax.value_and_grad(
+                        loss, argnums=(0, 1))(ws_dir, chain(heads, c))
+                    return (val + sum(jnp.sum(x) for x in gws)
                             + jnp.sum(gh)).astype(jnp.float32)
                 timeit_scan(f"dir fwd+bwd ({tag}, tile={tile})", dir_fb,
                             jnp.float32(0))

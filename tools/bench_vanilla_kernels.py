@@ -71,8 +71,16 @@ def main():
                 def loss(w):
                     rgb, sigma = fused(w, chain(enc_x, c), enc_d)
                     return jnp.sum(rgb * g_rgb) + jnp.sum(sigma * g_sig)
-                gws = jax.grad(loss)(ws)
-                return sum(jnp.sum(x) for x in gws).astype(jnp.float32)
+                # value_and_grad + carrying the value: with jax.grad alone
+                # the primal outputs feed only the DISCARDED loss value and
+                # XLA dead-code-eliminates the entire forward custom call —
+                # the recompute-form "fwd+bwd" numbers before 2026-08-19
+                # were backward-only (the residual variant's forward stayed
+                # live through its stored activations, so that A/B compared
+                # fwd+bwd against bwd alone)
+                val, gws = jax.value_and_grad(loss)(ws)
+                return (val + sum(jnp.sum(x) for x in gws)).astype(
+                    jnp.float32)
             try:
                 timeit_scan(f"vanilla fwd+bwd ({tag}, tile={tile})", fb,
                             jnp.float32(0))
