@@ -451,20 +451,42 @@ def _prop_forward_tile(x, r):
     return h1, h2, h3, h4, out
 
 
+# activations stored by the residual-storing prop variant (cd, per tile)
+N_PROP_ACTS = 4
+
+
 def _prop_fwd_kernel(encx_ref, *rest):
     r, out_ref = rest[:N_PROP_WS], rest[N_PROP_WS]
     out_ref[:] = _prop_forward_tile(encx_ref[:], r)[-1]
 
 
+def _prop_fwd_res_kernel(encx_ref, *rest):
+    r = rest[:N_PROP_WS]
+    out_ref = rest[N_PROP_WS]
+    act_refs = rest[N_PROP_WS + 1:]
+    h1, h2, h3, h4, out = _prop_forward_tile(encx_ref[:], r)
+    out_ref[:] = out
+    for ref, a in zip(act_refs, (h1, h2, h3, h4)):
+        ref[:] = a
+
+
 def _prop_bwd_kernel(encx_ref, g_ref, *rest):
-    _prop_bwd_tile(encx_ref[:], g_ref[:], rest)
-
-
-def _prop_bwd_tile(x, g, rest):
     r, grads = rest[:N_PROP_WS], rest[N_PROP_WS:]
+    h1, h2, h3, h4, _ = _prop_forward_tile(encx_ref[:], r)
+    _prop_bwd_math(encx_ref[:], g_ref[:], (h1, h2, h3, h4), r, grads)
+
+
+def _prop_bwd_res_kernel(encx_ref, g_ref, *rest):
+    acts = tuple(rest[i][:] for i in range(N_PROP_ACTS))
+    rest = rest[N_PROP_ACTS:]
+    r, grads = rest[:N_PROP_WS], rest[N_PROP_WS:]
+    _prop_bwd_math(encx_ref[:], g_ref[:], acts, r, grads)
+
+
+def _prop_bwd_math(x, g, acts, r, grads):
     w0, b0, w1, b1, w2, b2, w3, b3, wo, bo = r
     cd = x.dtype
-    h1, h2, h3, h4, _ = _prop_forward_tile(x, r)
+    h1, h2, h3, h4 = acts
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
@@ -496,10 +518,13 @@ def _prop_bwd_tile(x, g, rest):
 
 @functools.lru_cache(maxsize=None)
 def make_prop_fused(compute_dtype=jnp.bfloat16, tile: int = 512,
-                    interpret: bool = False):
+                    interpret: bool = False,
+                    store_residuals: bool = False):
     """Fused ProposalNetwork apply: (ws, enc_x) -> raw density (N,).
 
-    Same contract as make_vanilla_fused (zero input cotangent)."""
+    Same contract as make_vanilla_fused (zero input cotangent;
+    store_residuals trades the backward's forward-recompute for 4 stored
+    bf16 activations, same A/B as the vanilla kernel)."""
     cd = compute_dtype
 
     def _prep(ws, enc_x):
@@ -513,43 +538,55 @@ def make_prop_fused(compute_dtype=jnp.bfloat16, tile: int = 512,
         ws, x = _prep(ws, enc_x)
         x = _pad_rows(x, tile)
         grid = (x.shape[0] // tile,)
-        out = pl.pallas_call(
-            _prop_fwd_kernel,
+        out_specs = [_col_spec(1, tile)]
+        out_shape = [jax.ShapeDtypeStruct((1, x.shape[0]), F32)]
+        if store_residuals:
+            h_w = ws[2].shape[0]     # hidden width (w1: (H, H))
+            for _ in range(N_PROP_ACTS):
+                out_specs.append(_row_spec(tile, h_w))
+                out_shape.append(jax.ShapeDtypeStruct((x.shape[0], h_w), cd))
+        outs = pl.pallas_call(
+            _prop_fwd_res_kernel if store_residuals else _prop_fwd_kernel,
             grid=grid,
             in_specs=[_row_spec(tile, x.shape[1])]
             + [_full_spec(w.shape) for w in ws],
-            out_specs=_col_spec(1, tile),
-            out_shape=jax.ShapeDtypeStruct((1, x.shape[0]), F32),
+            out_specs=tuple(out_specs) if store_residuals else out_specs[0],
+            out_shape=tuple(out_shape) if store_residuals else out_shape[0],
             interpret=interpret,
             compiler_params=_VMEM_LIMIT,
         )(x, *ws)
-        return out[0, :n]
+        if store_residuals:
+            return outs[0][0, :n], outs[1:]
+        return outs[0, :n], ()
 
     @jax.custom_vjp
     def fused(ws, enc_x):
-        return _fwd_impl(ws, enc_x)
+        return _fwd_impl(ws, enc_x)[0]
 
     def fused_fwd(ws, enc_x):
-        return _fwd_impl(ws, enc_x), (ws, enc_x)
+        out, acts = _fwd_impl(ws, enc_x)
+        return out, (ws, enc_x, acts)
 
     def fused_bwd(res, g):
-        ws, enc_x = res
+        ws, enc_x, acts = res
         n = enc_x.shape[0]
         wsc, x = _prep(ws, enc_x)
         x = _pad_rows(x, tile)
         gfull = _pad_cols(g.astype(F32).reshape(1, n), tile)
         grid = (x.shape[0] // tile,)
+        act_specs = [_row_spec(tile, a.shape[1]) for a in acts]
         grads = pl.pallas_call(
-            _prop_bwd_kernel,
+            _prop_bwd_res_kernel if store_residuals else _prop_bwd_kernel,
             grid=grid,
             in_specs=[_row_spec(tile, x.shape[1]), _col_spec(1, tile)]
+            + act_specs
             + [_full_spec(w.shape) for w in wsc],
             out_specs=tuple(_full_spec(w.shape) for w in wsc),
             out_shape=tuple(
                 jax.ShapeDtypeStruct(w.shape, F32) for w in wsc),
             interpret=interpret,
             compiler_params=_VMEM_LIMIT,
-        )(x, gfull, *wsc)
+        )(x, gfull, *acts, *wsc)
         dws = tuple(dg.astype(w.dtype) for dg, w in zip(grads, ws))
         return dws, jnp.zeros_like(enc_x)
 

@@ -189,7 +189,7 @@ def _relu_cd(z, cd):
     return jnp.where(z > 0.0, z, 0.0).astype(cd)
 
 
-def _spa_pure(ws, enc, cd, bwd_cd=False):
+def _spa_pure(ws, enc, cd, bwd_cd=False, return_acts=False):
     """Spatial trunk + raw heads, pure-array (traceable for jax.vjp)."""
     (w0, b0, w1, b1, w2, b2, w3, b3, w4a, w4b, b4, w5, b5, w6, b6,
      w7, b7, wrt, brt, wnct, bnct, wbn, bbn) = ws
@@ -205,6 +205,8 @@ def _spa_pure(ws, enc, cd, bwd_cd=False):
     rho_tau = dense(inter, wrt, brt)
     nct = dense(inter, wnct, bnct)
     bn = dense(inter, wbn, bbn)
+    if return_acts:
+        return (rho_tau, nct, bn), (h1, h2, h3, h4, z5, z6, z7, inter)
     return rho_tau, nct, bn
 
 
@@ -538,8 +540,41 @@ def _ide_pure_rowland(xyzT, kappa_invT, mat, sigma_col, l_max,
                             im_xy * vz_matT * atten], axis=0)
 
 
+def _dir_glue_prelude_rowland(heads, noise, dirsT, mat, sigma_col, cd, l_max,
+                              hand_vjp=False, use_srgb=False):
+    """The pre-trunk glue of the directional branch, pure-array.
+
+    Split out so the residual-storing backward kernel can jax.vjp ONLY this
+    cheap part (normals, reflection, IDE recurrences — measured ~free next
+    to the trunk matmuls, round-4 forward dissect) while the trunk backward
+    replays stored activations.  Returns everything downstream consumers
+    need: (rowsT (C+1, T) cd, b_vec (T, 128) cd, normalT (3, T) f32,
+    tintT (3, T), diffT (3, T), densityT (1, T)).
+    """
+    normal_rawT = heads[:, 2:5].T                      # (3, T)
+    normT = jnp.sqrt(jnp.sum(normal_rawT * normal_rawT, axis=0,
+                             keepdims=True) + 1e-20)
+    normalT = -normal_rawT / (normT + 1e-7)
+    d_dot_nT = jnp.sum(dirsT * normalT, axis=0, keepdims=True)   # (1, T)
+    reflectT = dirsT - 2.0 * d_dot_nT * normalT
+    roughnessT = jax.nn.softplus(heads[:, 0:1].T - 1.0)          # (1, T)
+    wr_ideT = _ide_pure_rowland(reflectT, roughnessT, mat, sigma_col, l_max,
+                                hand_vjp=hand_vjp)
+    b_vec = (heads[:, 11:] + noise).astype(cd)         # (T, 128) T-major
+    rowsT = jnp.concatenate([wr_ideT, d_dot_nT], axis=0).astype(cd)
+    tintT = jax.nn.sigmoid(heads[:, 8:11].T)
+    # the reference biases the diffuse logit by -ln(3) only in sRGB mode
+    # (ref_model.py:100-105); linear mode uses the raw logit
+    diff_logit = heads[:, 5:8].T
+    if use_srgb:
+        diff_logit = diff_logit - float(np.log(3.0))
+    diffT = jax.nn.sigmoid(diff_logit)
+    return rowsT, b_vec, normalT, tintT, diffT, heads[:, 1:2].T
+
+
 def _dir_glue_pure_rowland(ws_dir, heads, noise, dirsT, mat, sigma_col, cd,
-                           l_max, use_srgb, hand_vjp=False, bwd_cd=False):
+                           l_max, use_srgb, hand_vjp=False, bwd_cd=False,
+                           return_acts=False):
     """Directional branch with ROW-LAND glue: same math as _dir_glue_pure,
     but every narrow per-point chain runs with points along lanes.
 
@@ -550,23 +585,13 @@ def _dir_glue_pure_rowland(ws_dir, heads, noise, dirsT, mat, sigma_col, cd,
     with the transposed products expressed as dot_general contractions over
     dim0 — the MXU streams either orientation natively.
     """
-    # narrow head pieces -> row-land
-    normal_rawT = heads[:, 2:5].T                      # (3, T)
-    normT = jnp.sqrt(jnp.sum(normal_rawT * normal_rawT, axis=0,
-                             keepdims=True) + 1e-20)
-    normalT = -normal_rawT / (normT + 1e-7)
-    d_dot_nT = jnp.sum(dirsT * normalT, axis=0, keepdims=True)   # (1, T)
-    reflectT = dirsT - 2.0 * d_dot_nT * normalT
-    roughnessT = jax.nn.softplus(heads[:, 0:1].T - 1.0)          # (1, T)
-    wr_ideT = _ide_pure_rowland(reflectT, roughnessT, mat, sigma_col, l_max,
-                                hand_vjp=hand_vjp)
-
-    b_vec = (heads[:, 11:] + noise).astype(cd)         # (T, 128) T-major
-    # fold d.n onto the IDE rows: [wr_ide | d.n] matches w rows [nb:] exactly,
-    # and the contraction stays K=39 — a separate K=1 dot_general is an outer
-    # product that Mosaic lowers through a mixed-dtype vector.broadcast its
-    # verifier rejects (seen on v5e, 2026-08-17)
-    rowsT = jnp.concatenate([wr_ideT, d_dot_nT], axis=0).astype(cd)
+    # narrow head pieces -> row-land (the d.n fold onto the IDE rows keeps
+    # the contraction K=39 — a separate K=1 dot_general is an outer product
+    # that Mosaic lowers through a mixed-dtype vector.broadcast its verifier
+    # rejects, seen on v5e 2026-08-17)
+    rowsT, b_vec, normalT, tintT, diffT, _ = _dir_glue_prelude_rowland(
+        heads, noise, dirsT, mat, sigma_col, cd, l_max, hand_vjp=hand_vjp,
+        use_srgb=use_srgb)
 
     (w0, b0, w1, b1, w2, b2, w3, b3, w4a, w4b, b4, w5, b5, w6, b6,
      w7, b7, wh, bh) = ws_dir
@@ -603,19 +628,19 @@ def _dir_glue_pure_rowland(ws_dir, heads, noise, dirsT, mat, sigma_col, cd,
     # and rgb crosses the kernel boundary (3, T) straight into the
     # row-land composite — no external (N, 3) transpose
     specT = jax.nn.sigmoid(head3(wh, z8.astype(cd)) + bh.reshape(-1, 1))
-    specularT = specT * jax.nn.sigmoid(heads[:, 8:11].T)
-    if use_srgb:
-        rgb3 = _srgb_pure(specularT + jax.nn.sigmoid(
-            heads[:, 5:8].T - float(np.log(3.0))))
-    else:
-        rgb3 = specularT + jax.nn.sigmoid(heads[:, 5:8].T)
-    return rgb3, normalT  # BOTH outputs ROW-LAND (3, T) through the boundary
+    specularT = specT * tintT
+    rgb3 = _srgb_pure(specularT + diffT) if use_srgb \
+        else specularT + diffT
+    # BOTH outputs ROW-LAND (3, T) through the boundary
+    if return_acts:
+        return rgb3, normalT, (h1, h2, h3, h4, z5, z6, z7, z8)
+    return rgb3, normalT
 
 
 SPA_HEAD_DIM = 2 + 9 + 128
 
 
-def _make_spa_fwd_kernel(cd, need_grad, bwd_cd=True):
+def _make_spa_fwd_kernel(cd, need_grad, bwd_cd=True, store_acts=False):
     def kernel(enc_ref, *rest):
         if need_grad:
             pos_ref, pew_ref, peb_ref = rest[:3]
@@ -623,6 +648,7 @@ def _make_spa_fwd_kernel(cd, need_grad, bwd_cd=True):
         ws = tuple(r[:] for r in rest[:N_REF_SPA_WS])
         outs = rest[N_REF_SPA_WS:]
         enc = enc_ref[:].astype(F32)
+        acts = ()
 
         if need_grad:
             # d(sigma)/d(enc) via jax.vjp, then the whole normal-target
@@ -641,10 +667,12 @@ def _make_spa_fwd_kernel(cd, need_grad, bwd_cd=True):
                 # pullback never runs their transposed matmuls (concrete
                 # zero cotangents are real arrays — the (T, 128) @ (128, H)
                 # bottleneck-head zero-matmul alone is ~0.13 forward)
-                rho_tau, nct, bn = _spa_pure(ws, e, cd, bwd_cd=bwd_cd)
-                return rho_tau[:, 1:2], (rho_tau, nct, bn)
+                out = _spa_pure(ws, e, cd, bwd_cd=bwd_cd,
+                                return_acts=store_acts)
+                (rho_tau, nct, bn), a = out if store_acts else (out, ())
+                return rho_tau[:, 1:2], (rho_tau, nct, bn, a)
 
-            density, vjp_fn, (rho_tau, nct, bn) = jax.vjp(
+            density, vjp_fn, (rho_tau, nct, bn, acts) = jax.vjp(
                 density_of, enc, has_aux=True)
             (denc,) = vjp_fn(jnp.ones((t, 1), F32))
             pos, pew = pos_ref[:], pew_ref[:]
@@ -658,8 +686,14 @@ def _make_spa_fwd_kernel(cd, need_grad, bwd_cd=True):
             norm = jnp.sqrt(jnp.sum(gT * gT, axis=0, keepdims=True))
             outs[1][:] = -(gT / jnp.maximum(1e-5, norm))  # stays (3, T)
         else:
-            rho_tau, nct, bn = _spa_pure(ws, enc, cd)
+            out = _spa_pure(ws, enc, cd, return_acts=store_acts)
+            (rho_tau, nct, bn) = out[0] if store_acts else out
+            acts = out[1] if store_acts else ()
         outs[0][:] = jnp.concatenate([rho_tau, nct, bn], axis=1)
+        if store_acts:
+            act_refs = outs[2:] if need_grad else outs[1:]
+            for ref, a in zip(act_refs, acts):
+                ref[:] = a
 
     return kernel
 
@@ -687,8 +721,83 @@ def _make_spa_bwd_kernel(cd, bwd_cd=True):
     return kernel
 
 
+# trunk activations stored by the residual-storing spa variant (cd, per
+# tile): h1 h2 h3 h4 z5 z6 z7 inter — post-relu (see N_DIR_ACTS)
+N_SPA_ACTS = 8
+
+
+def _make_spa_bwd_res_kernel(cd):
+    """Residual-storing spatial backward: stored trunk activations stream
+    back from HBM, chain rule written by hand (no forward recompute at all —
+    the spatial kernel has no glue to re-run; enc is the kernel input).
+    Numerics mirror _cd_matmul_rules (cd cotangent casts, f32 accumulate,
+    per-tile cd weight-grad rounding)."""
+    def kernel(enc_ref, g_ref, *rest):
+        acts = tuple(rest[i][:] for i in range(N_SPA_ACTS))
+        rest = rest[N_SPA_ACTS:]
+        wrefs, grads = rest[:N_REF_SPA_WS], rest[N_REF_SPA_WS:]
+        (w0, b0, w1, b1, w2, b2, w3, b3, w4a, w4b, b4, w5, b5, w6, b6,
+         w7, b7, wrt, brt, wnct, bnct, wbn, bbn) = tuple(r[:] for r in wrefs)
+        h1, h2, h3, h4, z5, z6, z7, inter = acts
+        enc = enc_ref[:].astype(cd)
+        g = g_ref[:]
+
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            for gref in grads:
+                gref[:] = jnp.zeros_like(gref)
+
+        def dxw(a, delta):
+            return jax.lax.dot_general(a, delta, (((0,), (0,)), ((), ())),
+                                       preferred_element_type=F32)
+
+        def dwt(delta, w):
+            return jax.lax.dot_general(delta, w, (((1,), (1,)), ((), ())),
+                                       preferred_element_type=F32)
+
+        def bsum(delta):
+            return jnp.sum(delta.astype(F32), axis=0, keepdims=True)
+
+        def mask(a, gg):
+            return jnp.where(a.astype(F32) > 0, gg, 0.0).astype(cd)
+
+        # packed heads cotangent: [rho_tau(2) | nct(9) | bn(128)]
+        g_rt = g[:, :2].astype(cd)
+        g_nct = g[:, 2:11].astype(cd)
+        g_bn = g[:, 11:].astype(cd)
+        d_inter = (dwt(g_rt, wrt).astype(cd) + dwt(g_nct, wnct).astype(cd)
+                   + dwt(g_bn, wbn).astype(cd))
+        d8 = mask(inter, d_inter.astype(F32))
+        d7 = mask(z7, dwt(d8, w7))
+        d6 = mask(z6, dwt(d7, w6))
+        d5 = mask(z5, dwt(d6, w5))
+        d4 = mask(h4, dwt(d5, w4b))
+        d3 = mask(h3, dwt(d4, w3))
+        d2 = mask(h2, dwt(d3, w2))
+        d1 = mask(h1, dwt(d2, w1))
+
+        dws = (
+            dxw(enc, d1).astype(cd), bsum(d1),
+            dxw(h1, d2).astype(cd), bsum(d2),
+            dxw(h2, d3).astype(cd), bsum(d3),
+            dxw(h3, d4).astype(cd), bsum(d4),
+            dxw(enc, d5).astype(cd),
+            dxw(h4, d5).astype(cd), bsum(d5),
+            dxw(z5, d6).astype(cd), bsum(d6),
+            dxw(z6, d7).astype(cd), bsum(d7),
+            dxw(z7, d8).astype(cd), bsum(d8),
+            dxw(inter, g_rt).astype(cd), bsum(g_rt),
+            dxw(inter, g_nct).astype(cd), bsum(g_nct),
+            dxw(inter, g_bn).astype(cd), bsum(g_bn),
+        )
+        for gref, dw in zip(grads, dws):
+            gref[:] += dw.astype(F32)
+
+    return kernel
+
+
 def _dir_forward(ws, heads, noise, dirs3, mat, sigma, cd, l_max, use_srgb,
-                 rowland, hand_vjp=False, bwd_cd=False):
+                 rowland, hand_vjp=False, bwd_cd=False, return_acts=False):
     """Dispatch between the T-major and row-land glue variants.
 
     ``dirs3`` is ROW-LAND (3, T); returns (rgb3 (3, T), normal3 (3, T),
@@ -701,11 +810,16 @@ def _dir_forward(ws, heads, noise, dirs3, mat, sigma, cd, l_max, use_srgb,
     pad+add combining the (N, 139) dheads with the density column
     (round-3 trace).
     """
+    acts = ()
     if rowland:
-        rgb3, normal3 = _dir_glue_pure_rowland(ws, heads, noise, dirs3, mat,
-                                               sigma.T, cd, l_max, use_srgb,
-                                               hand_vjp=hand_vjp,
-                                               bwd_cd=bwd_cd)
+        out = _dir_glue_pure_rowland(ws, heads, noise, dirs3, mat,
+                                     sigma.T, cd, l_max, use_srgb,
+                                     hand_vjp=hand_vjp, bwd_cd=bwd_cd,
+                                     return_acts=return_acts)
+        if return_acts:
+            rgb3, normal3, acts = out
+        else:
+            rgb3, normal3 = out
     else:
         rgb3, normal3 = _dir_glue_pure(ws, heads, noise, dirs3.T, mat, sigma,
                                        cd, l_max, use_srgb)
@@ -713,11 +827,19 @@ def _dir_forward(ws, heads, noise, dirs3, mat, sigma, cd, l_max, use_srgb,
     # forced ~0.4 ms/step of external relayouts ((N,1)->(N,) reduce + the
     # (R,P)->(N,1) cotangent copy, round-4 trace) — (1, N) shares the flat
     # row-major order of the (R, P) consumer so both directions are free
+    if return_acts:
+        return rgb3, normal3, heads[:, 1:2].T, acts
     return rgb3, normal3, heads[:, 1:2].T
 
 
+# trunk activations stored by the residual-storing dir variant (cd, per
+# tile): h1 h2 h3 h4 z5 z6 z7 z8 — post-relu, so the backward recovers the
+# relu masks as (a > 0) without the preactivations
+N_DIR_ACTS = 8
+
+
 def _make_dir_fwd_kernel(cd, ide_level, use_srgb, rowland, hand_vjp=True,
-                         bwd_cd=True):
+                         bwd_cd=True, store_acts=False):
     # hand_vjp picks the forward math too (recurrence vs polar) so the
     # forward kernel and the backward kernel's recompute agree bit-for-bit
     l_max = int(ide_tables(ide_level)["l_max"])
@@ -725,10 +847,16 @@ def _make_dir_fwd_kernel(cd, ide_level, use_srgb, rowland, hand_vjp=True,
     def kernel(heads_ref, noise_ref, dirs_ref, mat_ref, sigma_ref, *rest):
         ws = tuple(r[:] for r in rest[:N_REF_DIR_WS])
         rgb_ref, nrm_ref, den_ref = rest[N_REF_DIR_WS:N_REF_DIR_WS + 3]
-        rgb3, normal3, density = _dir_forward(
+        out = _dir_forward(
             ws, heads_ref[:], noise_ref[:], dirs_ref[:], mat_ref[:],
             sigma_ref[:], cd, l_max, use_srgb, rowland, hand_vjp=hand_vjp,
-            bwd_cd=bwd_cd)
+            bwd_cd=bwd_cd, return_acts=store_acts)
+        if store_acts:
+            rgb3, normal3, density, acts = out
+            for ref, a in zip(rest[N_REF_DIR_WS + 3:], acts):
+                ref[:] = a
+        else:
+            rgb3, normal3, density = out
         rgb_ref[:] = rgb3      # (3, T) row-land
         nrm_ref[:] = normal3   # (3, T) row-land
         den_ref[:] = density   # (1, T) row-land
@@ -770,16 +898,135 @@ def _make_dir_bwd_kernel(cd, ide_level, use_srgb, rowland, hand_vjp=True,
     return kernel
 
 
+def _make_dir_bwd_res_kernel(cd, ide_level, use_srgb, hand_vjp=True):
+    """Residual-storing directional backward: the trunk's 8 stored post-relu
+    activations stream back from HBM and the trunk chain rule is written by
+    hand (relu masks recovered as ``act > 0``), so the backward re-runs only
+    the cheap pre-trunk glue (normals/reflection/IDE — measured ~free next
+    to the trunk matmuls, round-4 forward dissect) under jax.vjp plus one
+    tiny head matmul.  Numerics mirror the bwd_cd=True recompute form: every
+    cotangent is cast to ``cd`` before its pullback matmuls, products f32-
+    accumulated, weight cotangents rounded to ``cd`` per tile (see
+    _cd_matmul_rules).  rowland-only.
+    """
+    l_max = int(ide_tables(ide_level)["l_max"])
+    _, _, head3 = _cd_matmul_rules(cd)
+
+    def kernel(heads_ref, noise_ref, dirs_ref, grgb_ref, gnrm_ref, gden_ref,
+               mat_ref, sigma_ref, *rest):
+        acts = tuple(rest[i][:] for i in range(N_DIR_ACTS))
+        rest = rest[N_DIR_ACTS:]
+        wrefs = rest[:N_REF_DIR_WS]
+        dheads_ref = rest[N_REF_DIR_WS]
+        grads = rest[N_REF_DIR_WS + 1:]
+        (w0, b0, w1, b1, w2, b2, w3, b3, w4a, w4b, b4, w5, b5, w6, b6,
+         w7, b7, wh, bh) = tuple(r[:] for r in wrefs)
+        h1, h2, h3, h4, z5, z6, z7, z8 = acts
+        heads = heads_ref[:]
+        nb = heads.shape[1] - 11   # bottleneck width (b_vec = heads[:, 11:])
+
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            for gref in grads:
+                gref[:] = jnp.zeros_like(gref)
+
+        def prelude(heads_t):
+            return _dir_glue_prelude_rowland(
+                heads_t, noise_ref[:], dirs_ref[:], mat_ref[:],
+                sigma_ref[:].T, cd, l_max, hand_vjp=hand_vjp,
+                use_srgb=use_srgb)
+
+        (rowsT, b_vec, _, tintT, diffT, _), prelude_vjp = jax.vjp(
+            prelude, heads)
+
+        def tail(wh_t, bh_t, z8_t, tintT_t, diffT_t):
+            specT = jax.nn.sigmoid(head3(wh_t, z8_t) + bh_t.reshape(-1, 1))
+            out = specT * tintT_t + diffT_t
+            return _srgb_pure(out) if use_srgb else out
+
+        _, tail_vjp = jax.vjp(tail, wh, bh, z8, tintT, diffT)
+        dwh, dbh, dz8, dtintT, ddiffT = tail_vjp(grgb_ref[:])
+
+        def dxw(a, delta):     # dW = a^T @ delta: contract T over dim0 x dim0
+            return jax.lax.dot_general(a, delta, (((0,), (0,)), ((), ())),
+                                       preferred_element_type=F32)
+
+        def dwt(delta, w):     # dh = delta @ w^T: contract dim1 x dim1
+            return jax.lax.dot_general(delta, w, (((1,), (1,)), ((), ())),
+                                       preferred_element_type=F32)
+
+        def bsum(delta):
+            return jnp.sum(delta.astype(F32), axis=0, keepdims=True)
+
+        def mask(a, g):        # relu pullback from the stored POST-relu act
+            return jnp.where(a.astype(F32) > 0, g, 0.0).astype(cd)
+
+        d8 = mask(z8, dz8.astype(F32))
+        d7 = mask(z7, dwt(d8, w7))
+        d6 = mask(z6, dwt(d7, w6))
+        d5 = mask(z5, dwt(d6, w5))
+        d4 = mask(h4, dwt(d5, w4b))
+        d3 = mask(h3, dwt(d4, w3))
+        d2 = mask(h2, dwt(d3, w2))
+        d1 = mask(h1, dwt(d2, w1))
+
+        # split-input pullbacks (layers 0 and 4): per-contribution cd cast
+        # matches jax.vjp's accumulation of the dense/dotT0 rule outputs
+        d_bvec = dwt(d5, w4a[:nb]).astype(cd) + dwt(d1, w0[:nb]).astype(cd)
+
+        def drow(w, delta):    # (C+1, H) x (T, H) -> (C+1, T)
+            return jax.lax.dot_general(w, delta, (((1,), (1,)), ((), ())),
+                                       preferred_element_type=F32)
+
+        d_rowsT = (drow(w4a[nb:], d5).astype(cd)
+                   + drow(w0[nb:], d1).astype(cd))
+
+        (dheads,) = prelude_vjp(
+            (d_rowsT, d_bvec, gnrm_ref[:], dtintT, ddiffT, gden_ref[:]))
+        dheads_ref[:] = dheads.astype(F32)
+
+        def wrow(rowT, delta):  # dw rows: (C+1, T) x (T, H) -> (C+1, H)
+            return jax.lax.dot_general(rowT, delta, (((1,), (0,)), ((), ())),
+                                       preferred_element_type=F32)
+
+        dws = (
+            jnp.concatenate([dxw(b_vec, d1).astype(cd),
+                             wrow(rowsT, d1).astype(cd)], axis=0), bsum(d1),
+            dxw(h1, d2).astype(cd), bsum(d2),
+            dxw(h2, d3).astype(cd), bsum(d3),
+            dxw(h3, d4).astype(cd), bsum(d4),
+            jnp.concatenate([dxw(b_vec, d5).astype(cd),
+                             wrow(rowsT, d5).astype(cd)], axis=0),
+            dxw(h4, d5).astype(cd), bsum(d5),
+            dxw(z5, d6).astype(cd), bsum(d6),
+            dxw(z6, d7).astype(cd), bsum(d7),
+            dxw(z7, d8).astype(cd), bsum(d8),
+            dwh, dbh,
+        )
+        for gref, dw in zip(grads, dws):
+            gref[:] += dw.astype(F32)
+
+    return kernel
+
+
 @functools.lru_cache(maxsize=None)
 def _make_spa_fused(cd, tile, interpret, need_grad, bwd_tile=None,
-                    bwd_cd=True):
+                    bwd_cd=True, store_residuals=False):
     # backward tile: at least 512 (13% faster than 256, round 3), and with
     # the raised VMEM ceiling it follows the forward tile up to 1024 (5.56
     # vs 5.88 ms fwd+bwd at 1024 vs 512, round-3 sweep)
     bwd_tile = (tile if interpret else max(tile, 512)) if bwd_tile is None \
         else bwd_tile
-    fwd_kernel = _make_spa_fwd_kernel(cd, need_grad, bwd_cd=bwd_cd)
-    bwd_kernel = _make_spa_bwd_kernel(cd, bwd_cd=bwd_cd)
+    if store_residuals and bwd_tile != tile:
+        # the stored activations are written in forward-tile blocks; the
+        # backward must read the same block grid
+        bwd_tile = tile
+    if store_residuals and not bwd_cd:
+        raise ValueError("store_residuals requires the bwd_cd numerics")
+    fwd_kernel = _make_spa_fwd_kernel(cd, need_grad, bwd_cd=bwd_cd,
+                                      store_acts=store_residuals)
+    bwd_kernel = _make_spa_bwd_res_kernel(cd) if store_residuals \
+        else _make_spa_bwd_kernel(cd, bwd_cd=bwd_cd)
 
     def _prep(ws):
         return tuple(w.astype(F32) if w.shape[0] == 1 else w.astype(cd)
@@ -802,6 +1049,13 @@ def _make_spa_fused(cd, tile, interpret, need_grad, bwd_tile=None,
                      jnp.asarray(pe_w), jnp.asarray(pe_b).reshape(1, -1))
             out_specs.append(_col_spec(3, tile))  # dgrad ROW-LAND (3, N)
             out_shape.append(jax.ShapeDtypeStruct((3, x.shape[0]), F32))
+        n_base_outs = len(out_specs)
+        if store_residuals:
+            h_w = wsc[2].shape[0]       # trunk width (w1: (H, H))
+            o_w = wsc[15].shape[1]      # intermediate width (w7: (H, O))
+            for w in (h_w, h_w, h_w, h_w, h_w, h_w, h_w, o_w):
+                out_specs.append(_row_spec(tile, w))
+                out_shape.append(jax.ShapeDtypeStruct((x.shape[0], w), cd))
         outs = pl.pallas_call(
             fwd_kernel,
             grid=grid,
@@ -815,36 +1069,41 @@ def _make_spa_fused(cd, tile, interpret, need_grad, bwd_tile=None,
             compiler_params=_VMEM_LIMIT,
         )(x, *extra, *wsc)
         dgrad = outs[1][:, :n] if need_grad else None
-        return outs[0][:n], dgrad
+        return outs[0][:n], dgrad, outs[n_base_outs:]
 
     @jax.custom_vjp
     def fused(ws, enc, pos):
-        heads, dgrad = _fwd_impl(ws, enc, pos)
+        heads, dgrad, _ = _fwd_impl(ws, enc, pos)
         if dgrad is None:
             dgrad = jnp.zeros((3, enc.shape[0]), F32)
         return heads, dgrad
 
     def fused_fwd(ws, enc, pos):
-        return fused(ws, enc, pos), (ws, enc)
+        heads, dgrad, acts = _fwd_impl(ws, enc, pos)
+        if dgrad is None:
+            dgrad = jnp.zeros((3, enc.shape[0]), F32)
+        return (heads, dgrad), (ws, enc, acts)
 
     def fused_bwd(res, g):
-        ws, enc = res
+        ws, enc, acts = res
         g_heads, _ = g  # density-grad cotangent dead (detached targets)
         wsc = _prep(ws)
         x = _pad_rows(enc.astype(cd), bwd_tile)
         gfull = _pad_rows(g_heads.astype(F32), bwd_tile)
         grid = (x.shape[0] // bwd_tile,)
+        act_specs = [_row_spec(bwd_tile, a.shape[1]) for a in acts]
         dws = pl.pallas_call(
             bwd_kernel,
             grid=grid,
             in_specs=[_row_spec(bwd_tile, x.shape[1]),
                       _row_spec(bwd_tile, SPA_HEAD_DIM)]
+            + act_specs
             + [_full_spec(w.shape) for w in wsc],
             out_specs=tuple(_full_spec(w.shape) for w in wsc),
             out_shape=tuple(jax.ShapeDtypeStruct(w.shape, F32) for w in wsc),
             interpret=interpret,
             compiler_params=_VMEM_LIMIT,
-        )(x, gfull, *wsc)
+        )(x, gfull, *acts, *wsc)
         dws = tuple(dg.astype(w.dtype) for dg, w in zip(dws, ws))
         return dws, jnp.zeros_like(enc), jnp.zeros((enc.shape[0], 3), F32)
 
@@ -854,13 +1113,21 @@ def _make_spa_fused(cd, tile, interpret, need_grad, bwd_tile=None,
 
 @functools.lru_cache(maxsize=None)
 def _make_dir_fused(cd, tile, interpret, ide_level, use_srgb,
-                    rowland=True, ide_vjp="hand", bwd_cd=True):
+                    rowland=True, ide_vjp="hand", bwd_cd=True,
+                    store_residuals=False):
+    if store_residuals and not (rowland and bwd_cd):
+        raise ValueError("store_residuals requires the rowland/bwd_cd path")
     fwd_kernel = _make_dir_fwd_kernel(cd, ide_level, use_srgb, rowland,
                                       hand_vjp=(ide_vjp == "hand"),
-                                      bwd_cd=bwd_cd)
-    bwd_kernel = _make_dir_bwd_kernel(cd, ide_level, use_srgb, rowland,
-                                      hand_vjp=(ide_vjp == "hand"),
-                                      bwd_cd=bwd_cd)
+                                      bwd_cd=bwd_cd,
+                                      store_acts=store_residuals)
+    if store_residuals:
+        bwd_kernel = _make_dir_bwd_res_kernel(
+            cd, ide_level, use_srgb, hand_vjp=(ide_vjp == "hand"))
+    else:
+        bwd_kernel = _make_dir_bwd_kernel(cd, ide_level, use_srgb, rowland,
+                                          hand_vjp=(ide_vjp == "hand"),
+                                          bwd_cd=bwd_cd)
     tables = ide_tables(ide_level)
     ide_mat = np.asarray(tables["mat"], np.float32)
     ide_sigma = np.asarray(tables["sigma"], np.float32).reshape(1, -1)
@@ -880,37 +1147,50 @@ def _make_dir_fused(cd, tile, interpret, ide_level, use_srgb,
                 _pad_rows(noise, tile),
                 _pad_cols(dirs3.astype(F32), tile))
 
+    def _act_widths(wsc):
+        h_w = wsc[2].shape[0]       # trunk width (w1: (H, H))
+        o_w = wsc[13].shape[1]      # output width (w6: (H, O))
+        return (h_w, h_w, h_w, h_w, h_w, h_w, o_w, o_w)
+
     def _fwd_impl(ws, heads, noise, dirs):
         n = heads.shape[0]
         wsc = _prep(ws)
         h, nz, d = _stage(heads, noise, dirs)
         grid = (h.shape[0] // tile,)
-        rgb3, nrm, den = pl.pallas_call(
+        out_specs = [_col_spec(3, tile), _col_spec(3, tile),
+                     _col_spec(1, tile)]
+        out_shape = [jax.ShapeDtypeStruct((3, h.shape[0]), F32),
+                     jax.ShapeDtypeStruct((3, h.shape[0]), F32),
+                     jax.ShapeDtypeStruct((1, h.shape[0]), F32)]
+        if store_residuals:
+            for w in _act_widths(wsc):
+                out_specs.append(_row_spec(tile, w))
+                out_shape.append(jax.ShapeDtypeStruct((h.shape[0], w), cd))
+        outs = pl.pallas_call(
             fwd_kernel,
             grid=grid,
             in_specs=[_row_spec(tile, h.shape[1]),
                       _row_spec(tile, nz.shape[1]), _col_spec(3, tile),
                       _full_spec(ide_mat.shape), _full_spec(ide_sigma.shape)]
             + [_full_spec(w.shape) for w in wsc],
-            out_specs=(_col_spec(3, tile), _col_spec(3, tile),
-                       _col_spec(1, tile)),
-            out_shape=(jax.ShapeDtypeStruct((3, h.shape[0]), F32),
-                       jax.ShapeDtypeStruct((3, h.shape[0]), F32),
-                       jax.ShapeDtypeStruct((1, h.shape[0]), F32)),
+            out_specs=tuple(out_specs),
+            out_shape=tuple(out_shape),
             interpret=interpret,
             compiler_params=_VMEM_LIMIT,
         )(h, nz, d, ide_mat, ide_sigma, *wsc)
-        return rgb3[:, :n], nrm[:, :n], den[0, :n]
+        rgb3, nrm, den = outs[:3]
+        return (rgb3[:, :n], nrm[:, :n], den[0, :n]), outs[3:]
 
     @jax.custom_vjp
     def fused(ws, heads, noise, dirs):
-        return _fwd_impl(ws, heads, noise, dirs)
+        return _fwd_impl(ws, heads, noise, dirs)[0]
 
     def fused_fwd(ws, heads, noise, dirs):
-        return _fwd_impl(ws, heads, noise, dirs), (ws, heads, noise, dirs)
+        out, acts = _fwd_impl(ws, heads, noise, dirs)
+        return out, (ws, heads, noise, dirs, acts)
 
     def fused_bwd(res, g):
-        ws, heads, noise, dirs = res
+        ws, heads, noise, dirs, acts = res
         # g_rgb AND g_normal arrive ROW-LAND (3, N)
         g_rgb, g_normal, g_density = g
         n = heads.shape[0]
@@ -920,6 +1200,7 @@ def _make_dir_fused(cd, tile, interpret, ide_level, use_srgb,
         gnrm = _pad_cols(g_normal.astype(F32), tile)
         gden = _pad_cols(g_density.astype(F32).reshape(1, n), tile)
         grid = (h.shape[0] // tile,)
+        act_specs = [_row_spec(tile, a.shape[1]) for a in acts]
         outs = pl.pallas_call(
             bwd_kernel,
             grid=grid,
@@ -928,6 +1209,7 @@ def _make_dir_fused(cd, tile, interpret, ide_level, use_srgb,
                       _col_spec(3, tile), _col_spec(3, tile),
                       _col_spec(1, tile),
                       _full_spec(ide_mat.shape), _full_spec(ide_sigma.shape)]
+            + act_specs
             + [_full_spec(w.shape) for w in wsc],
             out_specs=(_row_spec(tile, h.shape[1]),)
             + tuple(_full_spec(w.shape) for w in wsc),
@@ -935,7 +1217,7 @@ def _make_dir_fused(cd, tile, interpret, ide_level, use_srgb,
             + tuple(jax.ShapeDtypeStruct(w.shape, F32) for w in wsc),
             interpret=interpret,
             compiler_params=_VMEM_LIMIT,
-        )(h, nz, d, grgb, gnrm, gden, ide_mat, ide_sigma, *wsc)
+        )(h, nz, d, grgb, gnrm, gden, ide_mat, ide_sigma, *acts, *wsc)
         dheads, dws = outs[0], outs[1:]
         dws = tuple(dg.astype(w.dtype) for dg, w in zip(dws, ws))
         return (dws, dheads[:n].astype(heads.dtype), jnp.zeros_like(noise),
@@ -949,7 +1231,8 @@ def make_ref_fused(compute_dtype=jnp.bfloat16, tile: int = 256,
                    interpret: bool = False, need_grad: bool = True,
                    ide_level: int = 4, use_srgb: bool = False,
                    rowland: bool = True, dir_tile: int = None,
-                   ide_vjp: str = "hand", bwd_cd: bool = True):
+                   ide_vjp: str = "hand", bwd_cd: bool = True,
+                   store_residuals: bool = False):
     """Fused whole-Ref-NeRF fine forward, split at the heads boundary.
 
     (ws, enc (N, Dx), dirs3 (3, N), noise (N, 128), pos (N, 3)) ->
@@ -995,9 +1278,11 @@ def make_ref_fused(compute_dtype=jnp.bfloat16, tile: int = 256,
     # test batches to 1024 rows just slows the interpreter ~8x
     dir_tile = ((tile if interpret else 1024) if rowland else tile) \
         if dir_tile is None else dir_tile
-    spa = _make_spa_fused(cd, tile, interpret, need_grad, bwd_cd=bwd_cd)
+    spa = _make_spa_fused(cd, tile, interpret, need_grad, bwd_cd=bwd_cd,
+                          store_residuals=store_residuals)
     dr = _make_dir_fused(cd, dir_tile, interpret, ide_level, use_srgb,
-                         rowland, ide_vjp=ide_vjp, bwd_cd=bwd_cd)
+                         rowland, ide_vjp=ide_vjp, bwd_cd=bwd_cd,
+                         store_residuals=store_residuals)
 
     def fused(ws, enc, dirs, noise, pos=None):
         if need_grad and pos is None:

@@ -191,7 +191,8 @@ def _apply_prop(prop: ProposalNetwork, params, pts, cfg: PipelineConfig):
     enc = jnp.concatenate(
         [pts_f, positional_encoding(pts_f, prop.pos_levels)],
         axis=-1).astype(_fused_kernel_args(cfg)[0])
-    fused = ops.make_prop_fused(*_fused_kernel_args(cfg))
+    fused = ops.make_prop_fused(*_fused_kernel_args(cfg),
+                                store_residuals=cfg.store_residuals)
     return fused(ops.prop_weights_from_params(params), enc).reshape(r, p)
 
 
@@ -311,7 +312,8 @@ def _ref_fine_forward_allkernel(nerf: RefNeRF, nerf_params, pos, dirs,
     # cap predated the raised kernel VMEM ceiling (ops/fused_mlp._VMEM_LIMIT)
     fused = ops.make_ref_fused(
         cd, tile=tile, interpret=interpret, need_grad=need_grad,
-        ide_level=nerf.ide_level, use_srgb=nerf.use_srgb)
+        ide_level=nerf.ide_level, use_srgb=nerf.use_srgb,
+        store_residuals=cfg.store_residuals)
     rgb3, density, normal3, dgrad3 = fused(ws, enc, dirs3, noise, pos=pos_f)
 
     # rgb AND normals stay ROW-LAND (3, R, P) out to the composite/losses —

@@ -146,3 +146,24 @@ class TestPropFused:
             lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5),
             gr, gf)
 
+    def test_store_residuals_variant_matches_recompute(self, prop_setup):
+        model, params, pos = prop_setup
+        g = jax.random.normal(jax.random.PRNGKey(8), (N,))
+        enc = jnp.concatenate(
+            [pos[:, 0], positional_encoding(pos[:, 0], POS_L)], axis=-1)
+        ws = prop_weights_from_params(params)
+
+        def run(store):
+            fused = make_prop_fused(jnp.float32, TILE, interpret=True,
+                                    store_residuals=store)
+            out = fused(ws, enc)
+            grads = jax.grad(lambda w: jnp.sum(fused(w, enc) * g))(ws)
+            return out, grads
+
+        out_a, g_a = run(False)
+        out_b, g_b = run(True)
+        np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
+        for i, (ga, gb) in enumerate(zip(g_a, g_b)):
+            np.testing.assert_allclose(np.asarray(gb), np.asarray(ga),
+                                       rtol=1e-5, atol=1e-6, err_msg=str(i))
+

@@ -148,6 +148,44 @@ def test_ref_all_kernel_variant_matches_flax():
                                atol=2e-4)
 
 
+@pytest.mark.parametrize("use_srgb", [False, True])
+def test_ref_store_residuals_matches_recompute(use_srgb):
+    """The residual-storing directional backward (stored trunk activations +
+    hand chain rule, _make_dir_bwd_res_kernel) vs the recompute/jax.vjp form:
+    identical forward values and matching parameter grads + dheads through a
+    loss touching rgb, normal, AND density (the passthrough cotangent)."""
+    from nerf_tpu import ops
+    from nerf_tpu.core.encoding import positional_encoding
+
+    cfg_xla, _, nerf, params, pos, dirs = _setup(use_srgb)
+    r, p = pos.shape[:2]
+    n = r * p
+    pos_f = pos.reshape(n, 3)
+    dirs3 = dirs.reshape(n, 3).T
+    enc = jnp.concatenate(
+        [pos_f, positional_encoding(pos_f, nerf.pos_levels)], axis=-1)
+    rng = np.random.default_rng(11)
+    noise = jnp.asarray(
+        rng.normal(0, 0.02, (n, nerf.bottleneck_dim)).astype(np.float32))
+    ws = (ops.ref_spatial_weights_from_params(params)
+          + ops.ref_directional_weights_from_params(params))
+
+    def loss(w, store):
+        fused = ops.make_ref_fused(jnp.float32, 64, interpret=True,
+                                   need_grad=True, ide_level=nerf.ide_level,
+                                   use_srgb=use_srgb, store_residuals=store)
+        rgb, density, normal, _ = fused(w, enc, dirs3, noise, pos=pos_f)
+        return (jnp.sum(rgb ** 2) + jnp.sum(jax.nn.softplus(density + 0.5))
+                + jnp.sum(normal ** 2))
+
+    l_rec, g_rec = jax.value_and_grad(lambda w: loss(w, False))(ws)
+    l_res, g_res = jax.value_and_grad(lambda w: loss(w, True))(ws)
+    np.testing.assert_allclose(float(l_res), float(l_rec), rtol=1e-6)
+    for i, (a, b) in enumerate(zip(g_res, g_rec)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
+                                   atol=1e-5, err_msg=f"grad ws[{i}]")
+
+
 def test_ref_train_pipeline_fused_matches_xla():
     """Whole render_rays_train on the ref model: fused vs XLA, values+grads."""
     from nerf_tpu.train.step import compute_loss

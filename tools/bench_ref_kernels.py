@@ -301,6 +301,10 @@ def main():
     ap.add_argument("--ab_bwd_cd", action="store_true",
                     help="A/B only the cd-cotangent pullback rule "
                          "(bwd_cd False vs True) on the shipping variants")
+    ap.add_argument("--ab_store", action="store_true",
+                    help="A/B the residual-storing backward "
+                         "(store_residuals False vs True) on the shipping "
+                         "rowland/hand/bwd_cd variants")
     args = ap.parse_args()
 
     from nerf_tpu.train.config import PipelineConfig
@@ -335,10 +339,16 @@ def main():
         if args.spatial:
             pos = enc[:, :3]
             bt = args.spa_bwd_tile
-            for bwd_cd in ([False, True] if args.ab_bwd_cd else [True]):
+            spa_variants = [(bc, st)
+                            for bc in ([False, True] if args.ab_bwd_cd
+                                       else [True])
+                            for st in ([False, True] if args.ab_store
+                                       else [False])]
+            for bwd_cd, store in spa_variants:
                 spa = _make_spa_fused(jnp.bfloat16, tile, False, True,
-                                      bwd_tile=bt, bwd_cd=bwd_cd)
-                bctag = f"bwd_cd={int(bwd_cd)}"
+                                      bwd_tile=bt, bwd_cd=bwd_cd,
+                                      store_residuals=store)
+                bctag = f"bwd_cd={int(bwd_cd)}/store={int(store)}"
                 timeit_scan(f"spa fwd ({bctag}, tile={tile})",
                             lambda c, spa=spa: jnp.sum(
                                 spa(ws_spa, chain(enc, c), pos)[0]),
@@ -364,17 +374,25 @@ def main():
 
         if args.no_dir:
             dir_variants = []
+        elif args.ab_store:
+            dir_variants = [(True, "hand", True, False),
+                            (True, "hand", True, True)]
         elif args.ab_bwd_cd:
-            dir_variants = [(True, "hand", False), (True, "hand", True)]
+            dir_variants = [(True, "hand", False, False),
+                            (True, "hand", True, False)]
         else:
-            dir_variants = [(False, "auto", False), (True, "auto", False),
-                            (True, "hand", False), (True, "hand", True)]
-        for rowland, ide_vjp, bwd_cd in dir_variants:
+            dir_variants = [(False, "auto", False, False),
+                            (True, "auto", False, False),
+                            (True, "hand", False, False),
+                            (True, "hand", True, False),
+                            (True, "hand", True, True)]
+        for rowland, ide_vjp, bwd_cd, store in dir_variants:
             tag = (("rowland" if rowland else "tmajor") + f"/{ide_vjp}"
-                   + f"/bwd_cd={int(bwd_cd)}")
+                   + f"/bwd_cd={int(bwd_cd)}/store={int(store)}")
             try:
                 dr = _make_dir_fused(jnp.bfloat16, tile, False, 4, False,
-                                     rowland, ide_vjp=ide_vjp, bwd_cd=bwd_cd)
+                                     rowland, ide_vjp=ide_vjp, bwd_cd=bwd_cd,
+                                     store_residuals=store)
                 timeit_scan(f"dir fwd ({tag}, tile={tile})", lambda c: jnp.sum(
                     dr(ws_dir, chain(heads, c), noise, dirs)[0]),
                     jnp.float32(0))
