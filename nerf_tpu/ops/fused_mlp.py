@@ -315,10 +315,13 @@ def make_vanilla_fused(compute_dtype=jnp.bfloat16, tile: int = 512,
         return ws, enc_x.astype(cd), enc_d.astype(cd)
 
     def _act_widths(ws):
-        h = ws[2].shape[0]       # trunk width
-        b = ws[17].shape[0]      # bottleneck width
-        rw = ws[22].shape[0]     # rgb hidden width
-        return (h, h, h, h, h, h, b, b, rw)
+        # each stored activation's width comes from its PRODUCING matmul's
+        # output dim (consumer input dims coincide only for square configs)
+        h = ws[2].shape[1]       # trunk width (w1: (H, H))
+        z7w = ws[13].shape[1]    # z7 width (w6: (H, B))
+        b = ws[17].shape[1]      # bvec width (wb: (B, B))
+        rw = ws[19].shape[1]     # r1 width (wr1a: (B, R))
+        return (h, h, h, h, h, h, z7w, b, rw)
 
     def _fwd_impl(ws, enc_x, enc_d):
         n = enc_x.shape[0]

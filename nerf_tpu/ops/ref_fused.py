@@ -1148,9 +1148,12 @@ def _make_dir_fused(cd, tile, interpret, ide_level, use_srgb,
                 _pad_cols(dirs3.astype(F32), tile))
 
     def _act_widths(wsc):
-        h_w = wsc[2].shape[0]       # trunk width (w1: (H, H))
-        o_w = wsc[13].shape[1]      # output width (w6: (H, O))
-        return (h_w, h_w, h_w, h_w, h_w, h_w, o_w, o_w)
+        # widths from each activation's PRODUCING matmul output dim (the
+        # consumer-input shortcut only coincides for square configs)
+        h_w = wsc[2].shape[1]       # trunk width (w1: (H, H))
+        z7_w = wsc[13].shape[1]     # z7 width (w6: (H, O))
+        z8_w = wsc[15].shape[1]     # z8 width (w7: (O, O))
+        return (h_w, h_w, h_w, h_w, h_w, h_w, z7_w, z8_w)
 
     def _fwd_impl(ws, heads, noise, dirs):
         n = heads.shape[0]

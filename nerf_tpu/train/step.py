@@ -93,6 +93,12 @@ def compute_loss(models, params, rays, rgb_gt, key, cfg: PipelineConfig,
 
     ``noise`` passes through to render_rays_train — pre-drawn (jitter, u)
     for the trajectory-parity harness."""
+    # -b flag mode: discard stale flag tracers a FOREIGN trace (jitted eval
+    # chunks, a dropped epoch-fn retrace) left in the sink — merging them
+    # here would raise UnexpectedTracerError (see debug.reset_nan_flags)
+    from nerf_tpu.utils import debug as debug_lib
+
+    debug_lib.reset_nan_flags()
     out = render_rays_train(models, params, rays, key, cfg, noise=noise)
     img_loss = losses.mse(out["fine_rgb"], rgb_gt)
     if cfg.model == "mip":
@@ -131,7 +137,14 @@ def compute_loss(models, params, rays, rgb_gt, key, cfg: PipelineConfig,
             n_kept = out["density_grad"].shape[2]
             cp = out["coarse_pos"]
             if cfg.legacy_coarse_select:
-                q = legacy_coarse_positions(cp, out["last_fine_pos"])
+                # precondition: the dropped merged sample is the LAST coarse
+                # one, i.e. f_z[:,-1] < c_z[:,-1].  A tie at the far plane
+                # would put last_fine_pos == n_kept (the torch reference's
+                # boolean selector misaligns identically there,
+                # ref_model.py:108-117); clamp explicitly instead of leaning
+                # on take_along_axis's implicit clip mode.
+                lfp = jnp.minimum(out["last_fine_pos"], n_kept - 1)
+                q = legacy_coarse_positions(cp, lfp)
                 tgt3 = jnp.take_along_axis(
                     out["density_grad"], q[None, :, :], axis=2)
                 valid = 1.0
@@ -163,8 +176,6 @@ def compute_loss(models, params, rays, rgb_gt, key, cfg: PipelineConfig,
     metrics["loss"] = loss
     # -b flag-mode attribution (axon: no host callbacks): drain any armed
     # per-module finite flags into the aux metrics INSIDE the grad trace
-    from nerf_tpu.utils import debug as debug_lib
-
     metrics = debug_lib.attach_nan_flags(metrics)
     return loss, metrics
 

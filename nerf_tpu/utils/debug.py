@@ -109,6 +109,21 @@ def _flag_interceptor(next_fun, args, kwargs, context):
     return out
 
 
+def reset_nan_flags() -> None:
+    """Discard any undrained sink entries from FOREIGN traces.
+
+    While flag mode is armed for the process lifetime, EVERY jitted trace
+    that runs flax modules appends flag tracers to the sink — including
+    traces nobody drains (the jitted eval render chunks, a retrace of the
+    epoch fn after center-crop ends).  Stale tracers from such a trace must
+    not be merged into the next compute_loss trace (jnp.logical_or on a
+    tracer from another trace raises UnexpectedTracerError).  compute_loss
+    calls this FIRST, so the sink only ever holds entries from the trace
+    that will drain them."""
+    if _FLAG_SINK:
+        _FLAG_SINK.clear()
+
+
 def attach_nan_flags(metrics: dict) -> dict:
     """Drain the armed flag sink into ``metrics`` as
     ``nan_flag:<order>|<module>`` scalars (OR-merged when a module runs more

@@ -231,6 +231,52 @@ class TestDebug:
             if "prop" in k or "block1" in k:
                 assert not np.asarray(v).any(), k
 
+    def test_nan_attribution_flag_mode_survives_foreign_traces(self):
+        """While flag mode is armed for the process lifetime, UNDRAINED
+        traces (the jitted eval render chunks, a retraced epoch fn) leave
+        stale tracers in the sink; the next compute_loss trace must discard
+        them instead of merging them (UnexpectedTracerError — ADVICE r4
+        medium).  Reproduces the standard trainer flow: train trace → eval
+        trace → train RETRACE."""
+        from nerf_tpu.data.synthetic import make_synthetic_scene
+        from nerf_tpu.train.config import PipelineConfig
+        from nerf_tpu.train.pipeline import (
+            init_variables, make_models, render_rays_eval,
+        )
+        from nerf_tpu.train.step import compute_loss, sample_train_rays
+        from nerf_tpu.utils.debug import nan_attribution, split_nan_flags
+
+        cfg = PipelineConfig(ray_batch=8, n_coarse=8, n_fine=8,
+                             nerf_width=16, prop_width=16, model="vanilla",
+                             use_pallas=False)
+        models = make_models(cfg)
+        variables = init_variables(cfg, jax.random.PRNGKey(0))
+        train, _, _ = make_synthetic_scene(n_train=2, n_test=1, hw=(16, 16),
+                                           seed=0, n_samples=16)
+        rays, rgb_gt = sample_train_rays(
+            jax.random.PRNGKey(0), jnp.asarray(train.pixel_pool()),
+            jnp.asarray(train.poses), 0, train.image_hw, train.focal(), 8)
+
+        with nan_attribution(mode="flags"):
+            loss_fn = jax.jit(lambda v, r, g: compute_loss(
+                models, v, r, g, jax.random.PRNGKey(1), cfg))
+            jax.block_until_ready(loss_fn(variables, rays, rgb_gt))
+            # eval-style trace that NOBODY drains: its flag tracers go stale
+            # the moment this jit trace completes
+            ev = jax.jit(lambda v: render_rays_eval(
+                models, v, rays, jax.random.PRNGKey(2), cfg)[0])
+            jax.block_until_ready(ev(variables))
+            # force a compute_loss RETRACE (new ray_batch shape) — pre-fix
+            # this merged the stale eval tracers and raised
+            # UnexpectedTracerError
+            rays2, rgb2 = sample_train_rays(
+                jax.random.PRNGKey(3), jnp.asarray(train.pixel_pool()),
+                jnp.asarray(train.poses), 0, train.image_hw, train.focal(), 4)
+            _, metrics = jax.block_until_ready(loss_fn(variables, rays2, rgb2))
+        _, flags = split_nan_flags(metrics)
+        assert flags, "retrace must still collect its own flags"
+        assert not any(bool(np.asarray(v).any()) for v in flags.values())
+
     def test_nan_attribution_flag_mode_empty_on_clean_model(self):
         from nerf_tpu.utils.debug import attach_nan_flags, nan_attribution
 
