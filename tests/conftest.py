@@ -37,6 +37,7 @@ SLOW_MODULES = {
     "tests.test_ops",
     "tests.test_parallel",
     "tests.test_parallel_convergence",
+    "tests.test_parallel_pallas",
     "tests.test_pipeline_pallas",
     "tests.test_properties",
     "tests.test_ref_fused",
