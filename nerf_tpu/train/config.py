@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass
+from typing import Optional
 
 
 @dataclass(frozen=True)
@@ -83,6 +84,11 @@ class PipelineConfig:
     # had XLA dead-code-eliminating the forward custom call): true fwd+bwd
     # on v5e at tile=1024 is 4.37 ms residual vs 4.82 ms recompute.
     store_residuals: bool = True
+    # Eval/render forward kernel selection.  None = the measured default
+    # (XLA; the fused kernels' win is backward activation traffic, see
+    # render_rays_eval).  True/False forces the eval path onto/off the
+    # Pallas kernels — the A/B axis for tools/eval_ab.py.
+    eval_use_pallas: Optional[bool] = None
     # The reference's coarse_grad_select (ref_model.py:108-117) is off by
     # one: its selector is built over the TRUNCATED length (192) instead of
     # the pre-truncation 193, so it treats the last FINE sample as coarse

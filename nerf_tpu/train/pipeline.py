@@ -594,7 +594,10 @@ def render_rays_eval(models, variables, rays, key, cfg: PipelineConfig,
     # eval is forward-only: the fused kernels' win is BACKWARD activation
     # traffic, and at eval-chunk shapes the XLA forward is faster (measured
     # v5e, 400x400 frame: vanilla 0.513 vs 0.734 s/frame, ref 1.16 vs 1.28)
-    cfg = cfg.replace(use_pallas=False)
+    # cfg.eval_use_pallas overrides for A/B measurement (tools/eval_ab.py)
+    cfg = cfg.replace(use_pallas=(cfg.eval_use_pallas
+                                  if cfg.eval_use_pallas is not None
+                                  else False))
     sample_num = cfg.n_fine if sample_num is None else sample_num
     if noise is None:
         k_strat, k_inv = jax.random.split(key)

@@ -48,6 +48,7 @@ SLOW_MODULES = {
     "tests.test_trajectory_parity",
 }
 SLOW_TESTS = {
+    "test_vanilla_fits_objects_scene",
     "test_ref_model_loss_and_grads_finite",
     "test_vanilla_training_reduces_loss",
     "test_epoch_scan_matches_step_loop",

@@ -93,3 +93,19 @@ def test_sharded_render_matches_single_device_divergent_padding():
     sharded = render_image(params, pose, (20, 20), (20.0, 20.0), cfg,
                            sample_num=16, key=key, chunk=64, mesh=mesh)
     np.testing.assert_allclose(sharded["rgb"], single["rgb"], atol=1e-6)
+
+
+def test_eval_use_pallas_override_matches_xla():
+    """cfg.eval_use_pallas=True routes eval through the fused kernels
+    (tools/eval_ab.py's A/B axis); the frame must match the XLA eval path."""
+    cfg = PipelineConfig(n_coarse=8, n_fine=16, nerf_width=32, prop_width=32,
+                         white_bkg=True, use_bf16=False, pallas_tile=64)
+    params = init_variables(cfg, jax.random.PRNGKey(0))
+    pose = rays_lib.pose_spherical(30.0, -30.0, 4.0)
+    focal = rays_lib.fov_to_focal(0.69, (16, 16))
+    out_xla = render_image(params, pose, (16, 16), focal, cfg, chunk=128)
+    out_k = render_image(params, pose, (16, 16), focal,
+                         cfg.replace(eval_use_pallas=True,
+                                     store_residuals=False), chunk=128)
+    np.testing.assert_allclose(out_k["rgb"], out_xla["rgb"],
+                               rtol=1e-4, atol=1e-5)

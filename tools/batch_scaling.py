@@ -62,30 +62,43 @@ def main():
     ap.add_argument("--model", default="vanilla", choices=["vanilla", "ref"])
     ap.add_argument("--batches", type=int, nargs="+",
                     default=[1024, 4096, 16384])
-    ap.add_argument("--axis", default="select", choices=["select", "pallas"],
+    ap.add_argument("--axis", default="select",
+                    choices=["select", "pallas", "residuals"],
                     help="'select': fused vs matmul endpoint selects; "
-                         "'pallas': fused kernels vs the XLA path")
+                         "'pallas': fused kernels vs the XLA path; "
+                         "'residuals': residual-storing vs recompute-form "
+                         "kernel backwards (HBM-write vs re-FLOP trade, "
+                         "stressed at large R)")
     args = ap.parse_args()
 
     from nerf_tpu.train.config import PipelineConfig
 
     print(f"devices: {jax.devices()}  model={args.model} axis={args.axis}",
           file=sys.stderr)
-    variants = (("fused", "matmul") if args.axis == "select"
-                else ("pallas", "xla"))
+    variants = {"select": ("fused", "matmul"),
+                "pallas": ("pallas", "xla"),
+                "residuals": ("resid", "recompute")}[args.axis]
     rows = []
     for r in args.batches:
         for variant in variants:
             use_pallas = None
+            store_residuals = None
             if args.axis == "select":
                 import nerf_tpu.core.sampling as sampling_mod
                 sampling_mod.DEFAULT_SELECT = variant
-            else:
+            elif args.axis == "pallas":
                 use_pallas = variant == "pallas"
+            else:
+                use_pallas = True
+                store_residuals = variant == "resid"
+            kw = {}
+            if store_residuals is not None:
+                kw["store_residuals"] = store_residuals
             cfg = PipelineConfig(ray_batch=r, n_coarse=64, n_fine=128,
                                  nerf_width=256, prop_width=256,
                                  white_bkg=True, use_bf16=True,
-                                 model=args.model, use_pallas=use_pallas)
+                                 model=args.model, use_pallas=use_pallas,
+                                 **kw)
             rps = measure(cfg)
             rows.append((r, variant, rps))
             print(f"R={r:6d} {variant:6s} {rps:12,.0f} rays/s",
