@@ -84,6 +84,12 @@ class PipelineConfig:
     # had XLA dead-code-eliminating the forward custom call): true fwd+bwd
     # on v5e at tile=1024 is 4.37 ms residual vs 4.82 ms recompute.
     store_residuals: bool = True
+    # Per-net override for the PROPOSAL kernel's backward strategy.  The
+    # analytic roofline (tools/roofline.py) prices the prop residuals at
+    # ~0.33 ms/step of HBM traffic vs ~0.14 ms of recompute matmuls — the
+    # opposite sign of the fine net's trade — so the nets may want
+    # different strategies.  None = follow store_residuals.
+    prop_store_residuals: Optional[bool] = None
     # Eval/render forward kernel selection.  None = the measured default
     # (XLA; the fused kernels' win is backward activation traffic, see
     # render_rays_eval).  True/False forces the eval path onto/off the

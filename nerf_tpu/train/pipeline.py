@@ -192,7 +192,10 @@ def _apply_prop(prop: ProposalNetwork, params, pts, cfg: PipelineConfig):
         [pts_f, positional_encoding(pts_f, prop.pos_levels)],
         axis=-1).astype(_fused_kernel_args(cfg)[0])
     fused = ops.make_prop_fused(*_fused_kernel_args(cfg),
-                                store_residuals=cfg.store_residuals)
+                                store_residuals=(
+                                    cfg.store_residuals
+                                    if cfg.prop_store_residuals is None
+                                    else cfg.prop_store_residuals))
     return fused(ops.prop_weights_from_params(params), enc).reshape(r, p)
 
 

@@ -42,6 +42,42 @@ def test_fused_pipeline_matches_xla():
             b, a, rtol=5e-4, atol=1e-6, err_msg=jax.tree_util.keystr(kp))
 
 
+def test_mixed_backward_strategy_matches_xla():
+    """prop_store_residuals=False + store_residuals=True (the roofline-
+    suggested mixed strategy: recompute-form prop backward, residual-form
+    fine backward) must still reproduce the XLA oracle's gradients."""
+    base = PipelineConfig(model="vanilla", ray_batch=16, n_coarse=8, n_fine=16,
+                          nerf_width=32, prop_width=32, use_bf16=False,
+                          pallas_tile=64)
+    key = jax.random.PRNGKey(0)
+    models = make_models(base)
+    params = init_variables(base, key)
+    rays = jnp.concatenate(
+        [jnp.zeros((16, 3)), jax.random.normal(jax.random.PRNGKey(1), (16, 3))],
+        axis=-1)
+    rgb_gt = jax.random.uniform(jax.random.PRNGKey(2), (16, 3))
+    k = jax.random.PRNGKey(3)
+
+    def loss_for(cfg):
+        def f(p):
+            return compute_loss(models, p, rays, rgb_gt, k, cfg)
+        (loss, metrics), grads = jax.value_and_grad(f, has_aux=True)(params)
+        return loss, grads
+
+    loss_ref, grads_ref = loss_for(base)
+    loss_mixed, grads_mixed = loss_for(
+        base.replace(use_pallas=True, store_residuals=True,
+                     prop_store_residuals=False))
+
+    np.testing.assert_allclose(loss_mixed, loss_ref, rtol=1e-5)
+    for (kp, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(grads_ref),
+        jax.tree_util.tree_leaves_with_path(grads_mixed),
+    ):
+        np.testing.assert_allclose(
+            b, a, rtol=5e-4, atol=1e-6, err_msg=jax.tree_util.keystr(kp))
+
+
 def _ref_loss_and_grads(cfg, params, models, rays, rgb_gt, k):
     def f(p):
         return compute_loss(models, p, rays, rgb_gt, k, cfg)

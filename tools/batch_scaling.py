@@ -63,12 +63,15 @@ def main():
     ap.add_argument("--batches", type=int, nargs="+",
                     default=[1024, 4096, 16384])
     ap.add_argument("--axis", default="select",
-                    choices=["select", "pallas", "residuals"],
+                    choices=["select", "pallas", "residuals", "prop_res"],
                     help="'select': fused vs matmul endpoint selects; "
                          "'pallas': fused kernels vs the XLA path; "
                          "'residuals': residual-storing vs recompute-form "
                          "kernel backwards (HBM-write vs re-FLOP trade, "
-                         "stressed at large R)")
+                         "stressed at large R); 'prop_res': PROP kernel "
+                         "residual vs recompute with the fine kernel held "
+                         "residual (tools/roofline.py prices the prop trade "
+                         "the opposite way from the fine net's)")
     args = ap.parse_args()
 
     from nerf_tpu.train.config import PipelineConfig
@@ -77,23 +80,25 @@ def main():
           file=sys.stderr)
     variants = {"select": ("fused", "matmul"),
                 "pallas": ("pallas", "xla"),
-                "residuals": ("resid", "recompute")}[args.axis]
+                "residuals": ("resid", "recompute"),
+                "prop_res": ("resid", "recompute")}[args.axis]
     rows = []
     for r in args.batches:
         for variant in variants:
             use_pallas = None
-            store_residuals = None
+            kw = {}
             if args.axis == "select":
                 import nerf_tpu.core.sampling as sampling_mod
                 sampling_mod.DEFAULT_SELECT = variant
             elif args.axis == "pallas":
                 use_pallas = variant == "pallas"
-            else:
+            elif args.axis == "residuals":
                 use_pallas = True
-                store_residuals = variant == "resid"
-            kw = {}
-            if store_residuals is not None:
-                kw["store_residuals"] = store_residuals
+                kw["store_residuals"] = variant == "resid"
+            else:  # prop_res: fine stays residual-form, prop swings
+                use_pallas = True
+                kw["store_residuals"] = True
+                kw["prop_store_residuals"] = variant == "resid"
             cfg = PipelineConfig(ray_batch=r, n_coarse=64, n_fine=128,
                                  nerf_width=256, prop_width=256,
                                  white_bkg=True, use_bf16=True,
