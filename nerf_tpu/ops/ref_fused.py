@@ -1276,11 +1276,11 @@ def make_ref_fused(compute_dtype=jnp.bfloat16, tile: int = 256,
     # with the raised per-kernel VMEM ceiling (_VMEM_LIMIT) tile=1024 fits
     # BOTH backwards and is fastest (v5e sweep, tools/bench_ref_kernels:
     # dir rowland fwd+bwd 8.68 ms @512 -> 7.95 @1024; spa 6.22 @256/512 ->
-    # 5.56 @1024/1024, N=198k)
-    # interpret mode (CPU tests) keeps the caller's tile: padding 100-point
-    # test batches to 1024 rows just slows the interpreter ~8x
-    dir_tile = ((tile if interpret else 1024) if rowland else tile) \
-        if dir_tile is None else dir_tile
+    # 5.56 @1024/1024, N=198k).  dir follows the caller's tile so
+    # cfg.pallas_tile governs BOTH kernels (shipping default 1024; the
+    # round-5 tile sweep measures the whole step per tile —
+    # tools/batch_scaling --axis tile)
+    dir_tile = tile if dir_tile is None else dir_tile
     spa = _make_spa_fused(cd, tile, interpret, need_grad, bwd_cd=bwd_cd,
                           store_residuals=store_residuals)
     dr = _make_dir_fused(cd, dir_tile, interpret, ide_level, use_srgb,

@@ -33,8 +33,11 @@ def measure(cfg, n_scan=100):
         create_train_state, make_epoch_step, make_optimizer,
     )
 
+    from nerf_tpu.cli.flags import finalize_config
+
     train, _, _ = make_synthetic_scene(n_train=8, n_test=1, hw=(400, 400),
                                        seed=0, n_samples=64)
+    cfg = finalize_config(cfg, train.focal())  # mip: resolve ipe_radius
     pool = jax.device_put(jnp.asarray(train.pixel_pool()))
     poses = jax.device_put(jnp.asarray(train.poses))
     models = make_models(cfg)
@@ -59,11 +62,13 @@ def measure(cfg, n_scan=100):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--model", default="vanilla", choices=["vanilla", "ref"])
+    ap.add_argument("--model", default="vanilla",
+                    choices=["vanilla", "ref", "mip"])
     ap.add_argument("--batches", type=int, nargs="+",
                     default=[1024, 4096, 16384])
     ap.add_argument("--axis", default="select",
-                    choices=["select", "pallas", "residuals", "prop_res"],
+                    choices=["select", "pallas", "residuals", "prop_res",
+                             "tile"],
                     help="'select': fused vs matmul endpoint selects; "
                          "'pallas': fused kernels vs the XLA path; "
                          "'residuals': residual-storing vs recompute-form "
@@ -71,7 +76,12 @@ def main():
                          "stressed at large R); 'prop_res': PROP kernel "
                          "residual vs recompute with the fine kernel held "
                          "residual (tools/roofline.py prices the prop trade "
-                         "the opposite way from the fine net's)")
+                         "the opposite way from the fine net's); "
+                         "'tile': pallas_tile sweep at shipping defaults "
+                         "(re-measure tile limits after residual changes — "
+                         "the 64 MB scoped-VMEM raise may admit 2048)")
+    ap.add_argument("--tiles", type=int, nargs="+", default=[512, 1024, 2048],
+                    help="tile values for --axis tile")
     args = ap.parse_args()
 
     from nerf_tpu.train.config import PipelineConfig
@@ -81,7 +91,8 @@ def main():
     variants = {"select": ("fused", "matmul"),
                 "pallas": ("pallas", "xla"),
                 "residuals": ("resid", "recompute"),
-                "prop_res": ("resid", "recompute")}[args.axis]
+                "prop_res": ("resid", "recompute"),
+                "tile": tuple(str(t) for t in args.tiles)}[args.axis]
     rows = []
     for r in args.batches:
         for variant in variants:
@@ -95,6 +106,9 @@ def main():
             elif args.axis == "residuals":
                 use_pallas = True
                 kw["store_residuals"] = variant == "resid"
+            elif args.axis == "tile":
+                use_pallas = True
+                kw["pallas_tile"] = int(variant)
             else:  # prop_res: fine stays residual-form, prop swings
                 use_pallas = True
                 kw["store_residuals"] = True
@@ -103,8 +117,13 @@ def main():
                                  nerf_width=256, prop_width=256,
                                  white_bkg=True, use_bf16=True,
                                  model=args.model, use_pallas=use_pallas,
-                                 **kw)
-            rps = measure(cfg)
+                                 use_ipe=args.model == "mip", **kw)
+            try:
+                rps = measure(cfg)
+            except Exception as e:  # noqa: BLE001 — a tile that exceeds
+                # scoped VMEM should not kill the rest of the sweep
+                print(f"R={r:6d} {variant:6s} FAILED: {e}", file=sys.stderr)
+                continue
             rows.append((r, variant, rps))
             print(f"R={r:6d} {variant:6s} {rps:12,.0f} rays/s",
                   file=sys.stderr)
