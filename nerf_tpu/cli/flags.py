@@ -103,6 +103,11 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--no_pallas", dest="pallas", action="store_false",
                    help="force the XLA/flax oracle path instead of the fused "
                         "Pallas kernels")
+    p.add_argument("--pe_doubling", default=False, action="store_true",
+                   help="row-land angle-doubling spatial PE for the fused "
+                        "kernel paths (fastmath.cat_pos_pe): one (6, N) "
+                        "transcendental pass + complex-squaring octaves "
+                        "instead of the (N, 60) sin polynomial")
     p.add_argument("--ref_kernels", type=str, default="all",
                    choices=["hybrid", "all"],
                    help="Ref-NeRF kernel strategy when the Pallas path is "
@@ -171,6 +176,7 @@ def config_from_args(args) -> PipelineConfig:
         second_order_normals=getattr(args, "second_order_normals", False),
         legacy_coarse_select=getattr(args, "legacy_coarse_select", False),
         ref_kernels=getattr(args, "ref_kernels", "all"),
+        pe_doubling=getattr(args, "pe_doubling", False),
         distortion_w=getattr(args, "distortion_weight", 0.0),
         entropy_w=getattr(args, "entropy_weight", 0.0),
         entropy_acc_threshold=getattr(args, "entropy_threshold", 0.1),

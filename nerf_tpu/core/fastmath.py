@@ -59,6 +59,66 @@ def positional_encoding_mm(x: jnp.ndarray, levels: int) -> jnp.ndarray:
     return jnp.sin(proj)
 
 
+def positional_encoding_dbl(x: jnp.ndarray, levels: int) -> jnp.ndarray:
+    """Angle-doubling PE: same output as positional_encoding_mm to ~6e-5.
+
+    The matmul+sin form's cost is the sin polynomial over (N, 2LD): at
+    2LD = 60 <= 128 lanes that fusion is ONE lane-group wide, so every
+    polynomial op costs a full N/8-instruction pass regardless of how few
+    lanes it fills (which is why reshaping the MATMUL side was a measured
+    dead end — the sin dominates).  This form computes sin/cos(x) once in
+    ROW-LAND (2D, N) — full 128-lane rows, N/128 instructions per op — and
+    derives every higher octave by complex squaring, the same recurrence
+    that removed the IDE transcendentals (ops/ref_fused.py):
+
+        s_{l+1} = 2 s_l c_l,   c_{l+1} = (c_l - s_l)(c_l + s_l)
+
+    ~45 cheap VPU ops on (3, N) rows replace ~8 sublane-groups' worth of
+    sin polynomial.  Error grows as 2^l * ulp through the doublings:
+    <= ~6e-5 absolute at l = 9 — two decades below the bf16 quantization
+    (~4e-3) of every consumer (the fused kernels' enc operand).  NOT a
+    drop-in for paths that need f32-exact PE; the oracle stays
+    positional_encoding_mm / encoding.positional_encoding_ref.
+    """
+    rows = _pe_dbl_rows(x.reshape(-1, x.shape[-1]).T.astype(jnp.float32),
+                        levels)
+    out = jnp.concatenate(rows, axis=0).T
+    return out.reshape(*x.shape[:-1], out.shape[-1]).astype(x.dtype)
+
+
+def _pe_dbl_rows(xt: jnp.ndarray, levels: int) -> list[jnp.ndarray]:
+    """Row-land PE rows: xt (D, N) f32 -> [s_0 (D,N), c_0, s_1, c_1, ...]
+    with s_l = sin(2^l x), c_l = cos(2^l x) — level-major [sin, cos] row
+    order, the transpose of the positional_encoding_mm column order."""
+    d = xt.shape[0]
+    # one sin over stacked [x, x + pi/2] rows: base sin AND cos in a single
+    # (2D, N) transcendental pass
+    sc = jnp.sin(jnp.concatenate([xt, xt + 0.5 * np.pi], axis=0))
+    s, c = sc[:d], sc[d:]
+    rows = [s, c]
+    for _ in range(levels - 1):
+        s, c = 2.0 * s * c, (c - s) * (c + s)
+        rows += [s, c]
+    return rows
+
+
+def cat_pos_pe(x: jnp.ndarray, levels: int, dtype,
+               doubling: bool = False) -> jnp.ndarray:
+    """concatenate([x, PE(x)], -1).astype(dtype) — the fused kernels' enc
+    operand ((N, D + 2LD)).  ``doubling`` switches the PE to the row-land
+    angle-doubling form; the concat then happens in row-land ((D, N) atop
+    the PE rows) and ONE bf16 transpose relayouts to the kernel's N-major
+    operand, instead of paying the (N, 60) sin polynomial (see
+    positional_encoding_dbl)."""
+    if not doubling:
+        return jnp.concatenate(
+            [x, positional_encoding_mm(x, levels)], axis=-1).astype(dtype)
+    xt = x.T.astype(jnp.float32)
+    rows = [xt] + _pe_dbl_rows(xt, levels)
+    # cast BEFORE the transpose: the relayout copy moves bf16, not f32
+    return jnp.concatenate(rows, axis=0).astype(dtype).T
+
+
 @functools.lru_cache(maxsize=None)
 def _tri_ones(n: int):
     return np.triu(np.ones((n, n), np.float32))

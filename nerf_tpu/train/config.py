@@ -95,6 +95,14 @@ class PipelineConfig:
     # render_rays_eval).  True/False forces the eval path onto/off the
     # Pallas kernels — the A/B axis for tools/eval_ab.py.
     eval_use_pallas: Optional[bool] = None
+    # Spatial-PE construction for the FUSED kernel paths: False = the
+    # matmul+one-sin form (fastmath.positional_encoding_mm), True = the
+    # row-land angle-doubling form (fastmath.cat_pos_pe — one (6, N)
+    # transcendental pass + complex-squaring octaves + one bf16 relayout).
+    # Only the kernel paths switch: they consume enc in bf16 under
+    # stop_gradient, where the doubling error (~6e-5) is two decades below
+    # quantization; the flax/XLA oracle keeps the exact form.
+    pe_doubling: bool = False
     # The reference's coarse_grad_select (ref_model.py:108-117) is off by
     # one: its selector is built over the TRUNCATED length (192) instead of
     # the pre-truncation 193, so it treats the last FINE sample as coarse

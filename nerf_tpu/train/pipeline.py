@@ -15,6 +15,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from nerf_tpu.core import fastmath
 from nerf_tpu.core import rays as rays_lib
 from nerf_tpu.core import render as render_lib
 from nerf_tpu.core import sampling
@@ -147,7 +148,6 @@ def _apply_vanilla(nerf: VanillaNeRF, params, pos, dirs, cfg: PipelineConfig,
         return jnp.moveaxis(rgb, -1, 0), sigma
     from nerf_tpu import ops
 
-    from nerf_tpu.core.encoding import positional_encoding
 
     # the fused kernel's input cotangents are zero; stop_gradient makes the
     # (dead) encoding-transpose chain DCE-able instead of multiplying zeros.
@@ -161,9 +161,8 @@ def _apply_vanilla(nerf: VanillaNeRF, params, pos, dirs, cfg: PipelineConfig,
         pos_f = pos.reshape(r * p, 3)
         # cast to the kernel compute dtype AT construction so the convert
         # fuses into the sin fusion instead of a separate (N, 63) round trip
-        enc_x = jnp.concatenate(
-            [pos_f, positional_encoding(pos_f, nerf.pos_levels)],
-            axis=-1).astype(cd)
+        enc_x = fastmath.cat_pos_pe(pos_f, nerf.pos_levels, cd,
+                                    doubling=cfg.pe_doubling)
     else:
         enc_x = jax.lax.stop_gradient(enc_x).reshape(r * p, -1).astype(cd)
     # ray-level dir encoding broadcast over the P samples (see
@@ -183,14 +182,13 @@ def _apply_prop(prop: ProposalNetwork, params, pts, cfg: PipelineConfig):
         return prop.apply({"params": params}, pts)
     from nerf_tpu import ops
 
-    from nerf_tpu.core.encoding import positional_encoding
 
     pts = jax.lax.stop_gradient(pts)
     r, p = pts.shape[:2]
     pts_f = pts.reshape(r * p, 3)
-    enc = jnp.concatenate(
-        [pts_f, positional_encoding(pts_f, prop.pos_levels)],
-        axis=-1).astype(_fused_kernel_args(cfg)[0])
+    enc = fastmath.cat_pos_pe(pts_f, prop.pos_levels,
+                              _fused_kernel_args(cfg)[0],
+                              doubling=cfg.pe_doubling)
     fused = ops.make_prop_fused(*_fused_kernel_args(cfg),
                                 store_residuals=(
                                     cfg.store_residuals
@@ -275,7 +273,6 @@ def _ref_fine_forward_allkernel(nerf: RefNeRF, nerf_params, pos, dirs,
     callers fall back to the flax path otherwise.
     """
     from nerf_tpu import ops
-    from nerf_tpu.core.encoding import positional_encoding
 
     cd, tile, interpret = _fused_kernel_args(cfg)
     r, p = pos.shape[:2]
@@ -293,9 +290,8 @@ def _ref_fine_forward_allkernel(nerf: RefNeRF, nerf_params, pos, dirs,
     # custom-vjp residual is the cd array — an f32 enc residual cost an extra
     # 47 MB/step materialization (round-3 trace); matches the flax path's
     # enc.astype(self.dtype)
-    enc = jnp.concatenate(
-        [pos_f, positional_encoding(pos_f, nerf.pos_levels)],
-        axis=-1).astype(cd)
+    enc = fastmath.cat_pos_pe(pos_f, nerf.pos_levels, cd,
+                              doubling=cfg.pe_doubling)
     if train and noise_key is not None and nerf.perturb_bottleneck > 0:
         # cd draw: the (N, 128) noise is the largest kernel operand; f32
         # cost 100 MB/step of threefry+materialize (0.8 ms, round-3 trace).
@@ -344,7 +340,6 @@ def _ref_fine_forward_fused(nerf: RefNeRF, nerf_params, pos, dirs, noise_key,
     — the caller falls back to the flax path otherwise.
     """
     from nerf_tpu import ops
-    from nerf_tpu.core.encoding import positional_encoding
     from nerf_tpu.ops.ref_fused import _make_spa_fused
 
     cd, tile, interpret = _fused_kernel_args(cfg)
@@ -355,9 +350,8 @@ def _ref_fine_forward_fused(nerf: RefNeRF, nerf_params, pos, dirs, noise_key,
     r, p = pos.shape[:2]
     n = r * p
     pos_f = jax.lax.stop_gradient(pos).reshape(n, 3)
-    enc = jnp.concatenate(
-        [pos_f, positional_encoding(pos_f, nerf.pos_levels)],
-        axis=-1).astype(cd)
+    enc = fastmath.cat_pos_pe(pos_f, nerf.pos_levels, cd,
+                              doubling=cfg.pe_doubling)
 
     spa = _make_spa_fused(cd, tile, interpret, need_grad)
     heads, dgrad = spa(ops.ref_spatial_weights_from_params(nerf_params),

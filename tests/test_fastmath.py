@@ -16,6 +16,37 @@ def test_pe_matmul_matches_loop_form(rng):
     np.testing.assert_allclose(got, want, atol=2e-5)
 
 
+def test_pe_doubling_matches_loop_form(rng):
+    """Angle-doubling PE == oracle within the 2^l-amplified ulp bound.
+
+    Inputs span the real PE range (scene coords up to ~|4|); the doubling
+    error bound is ~2^(L-1) * ulp(1) ~ 6e-5 at L=10 — asserted with ~3x
+    headroom, still two decades under the bf16 quantization of the
+    consumers (the fused kernels' enc operand)."""
+    x = (rng.standard_normal((64, 3)) * 4).astype(np.float32)
+    got = np.asarray(fastmath.positional_encoding_dbl(jnp.asarray(x), 10))
+    want = np.asarray(positional_encoding_ref(jnp.asarray(x), 10))
+    assert got.shape == want.shape == (64, 60)
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_cat_pos_pe_doubling_matches_plain(rng):
+    """cat_pos_pe(doubling=True) == the matmul+sin form at bf16 output
+    precision (the only precision any consumer sees)."""
+    x = (rng.standard_normal((37, 3)) * 4).astype(np.float32)
+    plain = np.asarray(
+        fastmath.cat_pos_pe(jnp.asarray(x), 10, jnp.bfloat16, doubling=False)
+        .astype(jnp.float32))
+    dbl = np.asarray(
+        fastmath.cat_pos_pe(jnp.asarray(x), 10, jnp.bfloat16, doubling=True)
+        .astype(jnp.float32))
+    assert dbl.shape == plain.shape == (37, 63)
+    np.testing.assert_array_equal(dbl[:, :3], x.astype(jnp.bfloat16))
+    # bf16 grids: allow one-ulp flips where the f32 values straddle a
+    # rounding boundary
+    np.testing.assert_allclose(dbl, plain, atol=0.008, rtol=0.004)
+
+
 def test_cumsum_mm_matches_cumsum(rng):
     x = rng.standard_normal((16, 130)).astype(np.float32)
     got = np.asarray(fastmath.cumsum_mm(jnp.asarray(x)))

@@ -150,3 +150,39 @@ def test_ref_kernel_noise_rbg_deterministic():
     noise = jax.random.normal(_rbg_noise_key(k), (4096, 128))
     assert abs(float(noise.mean())) < 0.05
     assert abs(float(noise.std()) - 1.0) < 0.05
+
+
+def test_pe_doubling_pipeline_matches_xla():
+    """pe_doubling=True (row-land angle-doubling spatial PE) must reproduce
+    the XLA oracle's loss/grads to the PE error bound (~6e-5 on enc,
+    fastmath.positional_encoding_dbl) — checked in f32 so the doubling error
+    itself (not bf16 quantization) sets the tolerance."""
+    base = PipelineConfig(model="vanilla", ray_batch=16, n_coarse=8, n_fine=16,
+                          nerf_width=32, prop_width=32, use_bf16=False,
+                          pallas_tile=64)
+    key = jax.random.PRNGKey(0)
+    models = make_models(base)
+    params = init_variables(base, key)
+    rays = jnp.concatenate(
+        [jnp.zeros((16, 3)), jax.random.normal(jax.random.PRNGKey(1), (16, 3))],
+        axis=-1)
+    rgb_gt = jax.random.uniform(jax.random.PRNGKey(2), (16, 3))
+    k = jax.random.PRNGKey(3)
+
+    def loss_for(cfg):
+        def f(p):
+            return compute_loss(models, p, rays, rgb_gt, k, cfg)
+        (loss, metrics), grads = jax.value_and_grad(f, has_aux=True)(params)
+        return loss, grads
+
+    loss_ref, grads_ref = loss_for(base)
+    loss_dbl, grads_dbl = loss_for(
+        base.replace(use_pallas=True, pe_doubling=True))
+
+    np.testing.assert_allclose(loss_dbl, loss_ref, rtol=1e-4)
+    for (kp, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(grads_ref),
+        jax.tree_util.tree_leaves_with_path(grads_dbl),
+    ):
+        np.testing.assert_allclose(
+            b, a, rtol=5e-3, atol=5e-5, err_msg=jax.tree_util.keystr(kp))

@@ -297,3 +297,38 @@ def test_ide_hand_vjp_matches_auto():
                                rtol=2e-4, atol=2e-4)
     # padded zero columns must stay exactly zero-grad (no NaN leakage)
     assert np.all(np.asarray(dxyz_h)[:, -8:] == 0.0)
+
+
+def test_ref_train_pipeline_pe_doubling_matches_xla():
+    """Ref pipeline with the angle-doubling spatial PE (cfg.pe_doubling):
+    fused vs XLA values+grads at the PE error bound (fastmath
+    .positional_encoding_dbl ~6e-5 on enc)."""
+    from nerf_tpu.train.step import compute_loss
+
+    cfg_base = dict(model="ref", ray_batch=8, n_coarse=8, n_fine=16,
+                    nerf_width=32, prop_width=32, pallas_tile=64,
+                    bottleneck_noise=0.0)  # noise off: streams differ
+    cfg_xla = PipelineConfig(use_pallas=False, **cfg_base)
+    cfg_dbl = PipelineConfig(use_pallas=True, pe_doubling=True, **cfg_base)
+    models_x = make_models(cfg_xla)
+    models_f = make_models(cfg_dbl)
+    params = init_variables(cfg_xla, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(5)
+    rays = jnp.asarray(np.concatenate([
+        np.zeros((8, 3), np.float32),
+        (rng.normal(0, 0.1, (8, 3)) + [0, 0, -1]).astype(np.float32),
+    ], axis=-1))
+    rgb_gt = jnp.asarray(rng.uniform(size=(8, 3)).astype(np.float32))
+    key = jax.random.PRNGKey(11)
+
+    def loss_fn(p, models, cfg):
+        loss, metrics = compute_loss(models, p, rays, rgb_gt, key, cfg)
+        return loss
+
+    lx, gx = jax.value_and_grad(lambda p: loss_fn(p, models_x, cfg_xla))(params)
+    lf, gf = jax.value_and_grad(lambda p: loss_fn(p, models_f, cfg_dbl))(params)
+    np.testing.assert_allclose(float(lf), float(lx), rtol=2e-4)
+    flat_x, _ = jax.flatten_util.ravel_pytree(gx)
+    flat_f, _ = jax.flatten_util.ravel_pytree(gf)
+    np.testing.assert_allclose(np.asarray(flat_f), np.asarray(flat_x),
+                               rtol=5e-3, atol=3e-4)

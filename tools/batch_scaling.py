@@ -68,7 +68,7 @@ def main():
                     default=[1024, 4096, 16384])
     ap.add_argument("--axis", default="select",
                     choices=["select", "pallas", "residuals", "prop_res",
-                             "tile"],
+                             "tile", "pe"],
                     help="'select': fused vs matmul endpoint selects; "
                          "'pallas': fused kernels vs the XLA path; "
                          "'residuals': residual-storing vs recompute-form "
@@ -79,7 +79,9 @@ def main():
                          "the opposite way from the fine net's); "
                          "'tile': pallas_tile sweep at shipping defaults "
                          "(re-measure tile limits after residual changes — "
-                         "the 64 MB scoped-VMEM raise may admit 2048)")
+                         "the 64 MB scoped-VMEM raise may admit 2048); "
+                         "'pe': angle-doubling vs matmul+sin spatial PE "
+                         "(fastmath.cat_pos_pe)")
     ap.add_argument("--tiles", type=int, nargs="+", default=[512, 1024, 2048],
                     help="tile values for --axis tile")
     args = ap.parse_args()
@@ -92,6 +94,7 @@ def main():
                 "pallas": ("pallas", "xla"),
                 "residuals": ("resid", "recompute"),
                 "prop_res": ("resid", "recompute"),
+                "pe": ("dbl", "sin"),
                 "tile": tuple(str(t) for t in args.tiles)}[args.axis]
     rows = []
     for r in args.batches:
@@ -109,6 +112,9 @@ def main():
             elif args.axis == "tile":
                 use_pallas = True
                 kw["pallas_tile"] = int(variant)
+            elif args.axis == "pe":
+                use_pallas = True
+                kw["pe_doubling"] = variant == "dbl"
             else:  # prop_res: fine stays residual-form, prop swings
                 use_pallas = True
                 kw["store_residuals"] = True
