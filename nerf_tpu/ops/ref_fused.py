@@ -1273,13 +1273,12 @@ def make_ref_fused(compute_dtype=jnp.bfloat16, tile: int = 256,
     _cd_matmul_rules).
     """
     cd = compute_dtype
-    # with the raised per-kernel VMEM ceiling (_VMEM_LIMIT) tile=1024 fits
-    # BOTH backwards and is fastest (v5e sweep, tools/bench_ref_kernels:
-    # dir rowland fwd+bwd 8.68 ms @512 -> 7.95 @1024; spa 6.22 @256/512 ->
-    # 5.56 @1024/1024, N=198k).  dir follows the caller's tile so
-    # cfg.pallas_tile governs BOTH kernels (shipping default 1024; the
-    # round-5 tile sweep measures the whole step per tile —
-    # tools/batch_scaling --axis tile)
+    # with the raised per-kernel VMEM ceiling (_VMEM_LIMIT) large tiles fit
+    # BOTH backwards and win (round-3 standalone sweep: dir rowland fwd+bwd
+    # 8.68 ms @512 -> 7.95 @1024; spa 6.22 @256/512 -> 5.56 @1024, N=198k).
+    # dir follows the caller's tile so cfg.pallas_tile governs BOTH kernels
+    # (shipping default 2048 after the round-5 whole-step sweep,
+    # tools/batch_scaling --axis tile: ref 70.1k -> 70.8k rays/s @R=1024)
     dir_tile = tile if dir_tile is None else dir_tile
     spa = _make_spa_fused(cd, tile, interpret, need_grad, bwd_cd=bwd_cd,
                           store_residuals=store_residuals)

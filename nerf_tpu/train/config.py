@@ -51,7 +51,14 @@ class PipelineConfig:
     # (~131k) from R=1024 to R=2^14 while the XLA path drops to ~119k beyond
     # R=4096 on its HBM-bound per-layer activation round trips.
     use_pallas: bool | None = None
-    pallas_tile: int = 1024
+    # Points per kernel grid step, both kernel families.  Round-5 on-chip
+    # sweep (tools/batch_scaling --axis tile, residual-storing defaults):
+    # 2048 beats 1024 everywhere measured — vanilla 192.8k -> 195.2k @R=1024
+    # and 199.0k -> 200.5k @R=2^14, ref 70.1k -> 70.8k @R=1024 and 71.0k ->
+    # 71.9k @R=4096 rays/s (fewer grid steps amortize residual-read DMA
+    # issue better; fits under the 64 MB scoped-VMEM ceiling,
+    # ops/fused_mlp._VMEM_LIMIT).  512 loses ~4%.
+    pallas_tile: int = 2048
     # Mip-NeRF integrated positional encoding for the vanilla fine net.
     # The reference retains the IPE math but never calls it in forward
     # (README.md:95, mip_methods.py:36-58); here it is a live mode:
@@ -87,9 +94,12 @@ class PipelineConfig:
     # Per-net override for the PROPOSAL kernel's backward strategy.  The
     # analytic roofline (tools/roofline.py) prices the prop residuals at
     # ~0.33 ms/step of HBM traffic vs ~0.14 ms of recompute matmuls — the
-    # opposite sign of the fine net's trade — so the nets may want
-    # different strategies.  None = follow store_residuals.
-    prop_store_residuals: Optional[bool] = None
+    # opposite sign of the fine net's trade — and the round-5 on-chip A/B
+    # agrees (tools/batch_scaling --axis prop_res, R=1024: recompute 193.4k
+    # vs residual 192.8k rays/s), so the prop kernel defaults to the
+    # RECOMPUTE form while the fine kernel stores.  None = follow
+    # store_residuals.
+    prop_store_residuals: Optional[bool] = False
     # Eval/render forward kernel selection.  None = the measured default
     # (XLA; the fused kernels' win is backward activation traffic, see
     # render_rays_eval).  True/False forces the eval path onto/off the

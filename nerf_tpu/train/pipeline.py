@@ -307,7 +307,7 @@ def _ref_fine_forward_allkernel(nerf: RefNeRF, nerf_params, pos, dirs,
 
     ws = (ops.ref_spatial_weights_from_params(nerf_params)
           + ops.ref_directional_weights_from_params(nerf_params))
-    # cfg.pallas_tile (1024) straight through: the old min(tile, 256) spa
+    # cfg.pallas_tile straight through: the old min(tile, 256) spa
     # cap predated the raised kernel VMEM ceiling (ops/fused_mlp._VMEM_LIMIT)
     fused = ops.make_ref_fused(
         cd, tile=tile, interpret=interpret, need_grad=need_grad,
@@ -588,13 +588,22 @@ def render_rays_eval(models, variables, rays, key, cfg: PipelineConfig,
     how rays are chunked.
     """
     nerf, prop = models
-    # eval is forward-only: the fused kernels' win is BACKWARD activation
-    # traffic, and at eval-chunk shapes the XLA forward is faster (measured
-    # v5e, 400x400 frame: vanilla 0.513 vs 0.734 s/frame, ref 1.16 vs 1.28)
-    # cfg.eval_use_pallas overrides for A/B measurement (tools/eval_ab.py)
-    cfg = cfg.replace(use_pallas=(cfg.eval_use_pallas
-                                  if cfg.eval_use_pallas is not None
-                                  else False))
+    # Eval is forward-only, so the pin is model-dependent (round-5 A/B at
+    # eval chunk shapes, tools/eval_ab, v5e 400x400 frame, chunk=4096):
+    # vanilla/mip render FASTER on the XLA forward (0.449 vs 0.545 s/frame
+    # — the kernels' training win is backward activation traffic, which
+    # eval doesn't have), but the REF frame is 15% faster on the
+    # forward-only kernels (0.978 vs 1.152 s — the row-land IDE/reflection
+    # glue fuses in-kernel where the forward-only XLA program leaves it as
+    # narrow standalone ops).  store_residuals=False on the default eval
+    # path: residual HBM writes are pure waste without a backward
+    # (measured 1.031 s vs 0.978).  cfg.eval_use_pallas overrides both for
+    # A/B measurement (tools/eval_ab.py sets store_residuals itself).
+    if cfg.eval_use_pallas is not None:
+        cfg = cfg.replace(use_pallas=cfg.eval_use_pallas)
+    else:
+        cfg = cfg.replace(use_pallas=cfg.model == "ref" and use_pallas(cfg),
+                          store_residuals=False)
     sample_num = cfg.n_fine if sample_num is None else sample_num
     if noise is None:
         k_strat, k_inv = jax.random.split(key)

@@ -109,3 +109,29 @@ def test_eval_use_pallas_override_matches_xla():
                                      store_residuals=False), chunk=128)
     np.testing.assert_allclose(out_k["rgb"], out_xla["rgb"],
                                rtol=1e-4, atol=1e-5)
+
+
+def test_ref_eval_default_pin_routes_to_kernels_and_matches_xla():
+    """Round-5 eval pin: when use_pallas resolves True, REF eval defaults to
+    the forward-only fused kernels (store_residuals forced off in
+    render_rays_eval — measured 15% faster than the XLA eval on v5e,
+    tools/eval_ab).  The kernel frame, including the predicted-normal and
+    depth extras, must match the XLA eval frame."""
+    cfg = PipelineConfig(model="ref", n_coarse=8, n_fine=16, nerf_width=32,
+                         prop_width=32, white_bkg=True, use_bf16=False,
+                         pallas_tile=64)
+    params = init_variables(cfg, jax.random.PRNGKey(0))
+    pose = rays_lib.pose_spherical(30.0, -30.0, 4.0)
+    focal = rays_lib.fov_to_focal(0.69, (16, 16))
+    out_xla = render_image(params, pose, (16, 16), focal,
+                           cfg.replace(eval_use_pallas=False), chunk=128,
+                           render_depth=True, render_normal=True)
+    # the DEFAULT pin (eval_use_pallas=None): ref + use_pallas True routes
+    # through the kernels even though store_residuals is left at its
+    # training default
+    out_k = render_image(params, pose, (16, 16), focal,
+                         cfg.replace(use_pallas=True), chunk=128,
+                         render_depth=True, render_normal=True)
+    for k in ("rgb", "depth", "normal"):
+        np.testing.assert_allclose(out_k[k], out_xla[k],
+                                   rtol=1e-4, atol=1e-5, err_msg=k)
