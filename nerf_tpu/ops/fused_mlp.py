@@ -259,9 +259,23 @@ def _full_spec(shape):
     return pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
 
 
-def _row_spec(tile, width):
+def _row_spec(tile, width, bufs=None):
+    """Grid-blocked (tile, width) input/output spec.
+
+    bufs: optional pipeline buffer count (pl.Buffered).  Mosaic's default
+    pipelining double-buffers grid-indexed operands; the round-5 trace
+    showed the residual-READING backwards running at 91-100% of their
+    no-overlap bound (reads gate compute), so the backwards expose this
+    experiment knob (PipelineConfig.bwd_bufs).  MEASURED OUTCOME (round-5
+    on-chip A/B, tools/batch_scaling --axis bufs): this Mosaic version
+    rejects buffer_count > 2 at compile ("Only single (1) and double (2)
+    buffering are supported"), so the deeper-prefetch lever is CLOSED on
+    the current toolchain — the knob stays as the probe record for a
+    future Mosaic that lifts the cap.
+    """
+    mode = pl.Buffered(buffer_count=bufs) if bufs else None
     return pl.BlockSpec((tile, width), lambda i: (i, 0),
-                        memory_space=pltpu.VMEM)
+                        memory_space=pltpu.VMEM, pipeline_mode=mode)
 
 
 def _pad_cols(a, tile):
@@ -273,7 +287,7 @@ def _pad_cols(a, tile):
     return a
 
 
-def _col_spec(rows, tile):
+def _col_spec(rows, tile, bufs=None):
     """Block over COLUMNS: (rows, tile) blocks of a (rows, N) array.
 
     Row-land kernel inputs/outputs (rgb/normals as (3, N)) use this so the
@@ -282,14 +296,16 @@ def _col_spec(rows, tile):
     of 128 lanes, and the round-3 trace showed the glue on such arrays
     paying up to 21x its HBM roofline.
     """
+    mode = pl.Buffered(buffer_count=bufs) if bufs else None
     return pl.BlockSpec((rows, tile), lambda i: (0, i),
-                        memory_space=pltpu.VMEM)
+                        memory_space=pltpu.VMEM, pipeline_mode=mode)
 
 
 @functools.lru_cache(maxsize=None)
 def make_vanilla_fused(compute_dtype=jnp.bfloat16, tile: int = 512,
                        interpret: bool = False,
-                       store_residuals: bool = False):
+                       store_residuals: bool = False,
+                       bwd_bufs: int | None = None):
     """Build the fused VanillaNeRF apply:
     (ws, enc_x, enc_d) -> (rgb3 (3, N) ROW-LAND, sigma (N,)).
 
@@ -378,14 +394,15 @@ def make_vanilla_fused(compute_dtype=jnp.bfloat16, tile: int = 512,
             kernel = _vanilla_bwd_res_kernel
             rgb3p = _pad_cols(rgb3.astype(F32), tile)
             extra_in = (rgb3p,) + tuple(acts)
-            extra_specs = [_col_spec(3, tile)] + [
-                _row_spec(tile, a.shape[1]) for a in acts]
+            extra_specs = [_col_spec(3, tile, bwd_bufs)] + [
+                _row_spec(tile, a.shape[1], bwd_bufs) for a in acts]
         grads = pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[_row_spec(tile, x.shape[1]),
-                      _row_spec(tile, d.shape[1]),
-                      _col_spec(3, tile), _col_spec(1, tile)]
+            in_specs=[_row_spec(tile, x.shape[1], bwd_bufs),
+                      _row_spec(tile, d.shape[1], bwd_bufs),
+                      _col_spec(3, tile, bwd_bufs),
+                      _col_spec(1, tile, bwd_bufs)]
             + extra_specs
             + [_full_spec(w.shape) for w in wsc],
             out_specs=tuple(_full_spec(w.shape) for w in wsc),
@@ -522,7 +539,8 @@ def _prop_bwd_math(x, g, acts, r, grads):
 @functools.lru_cache(maxsize=None)
 def make_prop_fused(compute_dtype=jnp.bfloat16, tile: int = 512,
                     interpret: bool = False,
-                    store_residuals: bool = False):
+                    store_residuals: bool = False,
+                    bwd_bufs: int | None = None):
     """Fused ProposalNetwork apply: (ws, enc_x) -> raw density (N,).
 
     Same contract as make_vanilla_fused (zero input cotangent;
@@ -577,11 +595,12 @@ def make_prop_fused(compute_dtype=jnp.bfloat16, tile: int = 512,
         x = _pad_rows(x, tile)
         gfull = _pad_cols(g.astype(F32).reshape(1, n), tile)
         grid = (x.shape[0] // tile,)
-        act_specs = [_row_spec(tile, a.shape[1]) for a in acts]
+        act_specs = [_row_spec(tile, a.shape[1], bwd_bufs) for a in acts]
         grads = pl.pallas_call(
             _prop_bwd_res_kernel if store_residuals else _prop_bwd_kernel,
             grid=grid,
-            in_specs=[_row_spec(tile, x.shape[1]), _col_spec(1, tile)]
+            in_specs=[_row_spec(tile, x.shape[1], bwd_bufs),
+                      _col_spec(1, tile, bwd_bufs)]
             + act_specs
             + [_full_spec(w.shape) for w in wsc],
             out_specs=tuple(_full_spec(w.shape) for w in wsc),

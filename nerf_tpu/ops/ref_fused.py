@@ -1011,7 +1011,7 @@ def _make_dir_bwd_res_kernel(cd, ide_level, use_srgb, hand_vjp=True):
 
 @functools.lru_cache(maxsize=None)
 def _make_spa_fused(cd, tile, interpret, need_grad, bwd_tile=None,
-                    bwd_cd=True, store_residuals=False):
+                    bwd_cd=True, store_residuals=False, bwd_bufs=None):
     # backward tile: at least 512 (13% faster than 256, round 3), and with
     # the raised VMEM ceiling it follows the forward tile up to 1024 (5.56
     # vs 5.88 ms fwd+bwd at 1024 vs 512, round-3 sweep)
@@ -1091,12 +1091,13 @@ def _make_spa_fused(cd, tile, interpret, need_grad, bwd_tile=None,
         x = _pad_rows(enc.astype(cd), bwd_tile)
         gfull = _pad_rows(g_heads.astype(F32), bwd_tile)
         grid = (x.shape[0] // bwd_tile,)
-        act_specs = [_row_spec(bwd_tile, a.shape[1]) for a in acts]
+        act_specs = [_row_spec(bwd_tile, a.shape[1], bwd_bufs)
+                     for a in acts]
         dws = pl.pallas_call(
             bwd_kernel,
             grid=grid,
-            in_specs=[_row_spec(bwd_tile, x.shape[1]),
-                      _row_spec(bwd_tile, SPA_HEAD_DIM)]
+            in_specs=[_row_spec(bwd_tile, x.shape[1], bwd_bufs),
+                      _row_spec(bwd_tile, SPA_HEAD_DIM, bwd_bufs)]
             + act_specs
             + [_full_spec(w.shape) for w in wsc],
             out_specs=tuple(_full_spec(w.shape) for w in wsc),
@@ -1114,7 +1115,7 @@ def _make_spa_fused(cd, tile, interpret, need_grad, bwd_tile=None,
 @functools.lru_cache(maxsize=None)
 def _make_dir_fused(cd, tile, interpret, ide_level, use_srgb,
                     rowland=True, ide_vjp="hand", bwd_cd=True,
-                    store_residuals=False):
+                    store_residuals=False, bwd_bufs=None):
     if store_residuals and not (rowland and bwd_cd):
         raise ValueError("store_residuals requires the rowland/bwd_cd path")
     fwd_kernel = _make_dir_fwd_kernel(cd, ide_level, use_srgb, rowland,
@@ -1203,14 +1204,16 @@ def _make_dir_fused(cd, tile, interpret, ide_level, use_srgb,
         gnrm = _pad_cols(g_normal.astype(F32), tile)
         gden = _pad_cols(g_density.astype(F32).reshape(1, n), tile)
         grid = (h.shape[0] // tile,)
-        act_specs = [_row_spec(tile, a.shape[1]) for a in acts]
+        act_specs = [_row_spec(tile, a.shape[1], bwd_bufs) for a in acts]
         outs = pl.pallas_call(
             bwd_kernel,
             grid=grid,
-            in_specs=[_row_spec(tile, h.shape[1]),
-                      _row_spec(tile, nz.shape[1]), _col_spec(3, tile),
-                      _col_spec(3, tile), _col_spec(3, tile),
-                      _col_spec(1, tile),
+            in_specs=[_row_spec(tile, h.shape[1], bwd_bufs),
+                      _row_spec(tile, nz.shape[1], bwd_bufs),
+                      _col_spec(3, tile, bwd_bufs),
+                      _col_spec(3, tile, bwd_bufs),
+                      _col_spec(3, tile, bwd_bufs),
+                      _col_spec(1, tile, bwd_bufs),
                       _full_spec(ide_mat.shape), _full_spec(ide_sigma.shape)]
             + act_specs
             + [_full_spec(w.shape) for w in wsc],
@@ -1235,7 +1238,8 @@ def make_ref_fused(compute_dtype=jnp.bfloat16, tile: int = 256,
                    ide_level: int = 4, use_srgb: bool = False,
                    rowland: bool = True, dir_tile: int = None,
                    ide_vjp: str = "hand", bwd_cd: bool = True,
-                   store_residuals: bool = False):
+                   store_residuals: bool = False,
+                   bwd_bufs: int | None = None):
     """Fused whole-Ref-NeRF fine forward, split at the heads boundary.
 
     (ws, enc (N, Dx), dirs3 (3, N), noise (N, 128), pos (N, 3)) ->
@@ -1281,10 +1285,10 @@ def make_ref_fused(compute_dtype=jnp.bfloat16, tile: int = 256,
     # tools/batch_scaling --axis tile: ref 70.1k -> 70.8k rays/s @R=1024)
     dir_tile = tile if dir_tile is None else dir_tile
     spa = _make_spa_fused(cd, tile, interpret, need_grad, bwd_cd=bwd_cd,
-                          store_residuals=store_residuals)
+                          store_residuals=store_residuals, bwd_bufs=bwd_bufs)
     dr = _make_dir_fused(cd, dir_tile, interpret, ide_level, use_srgb,
                          rowland, ide_vjp=ide_vjp, bwd_cd=bwd_cd,
-                         store_residuals=store_residuals)
+                         store_residuals=store_residuals, bwd_bufs=bwd_bufs)
 
     def fused(ws, enc, dirs, noise, pos=None):
         if need_grad and pos is None:

@@ -100,6 +100,16 @@ class PipelineConfig:
     # RECOMPUTE form while the fine kernel stores.  None = follow
     # store_residuals.
     prop_store_residuals: Optional[bool] = False
+    # Pipeline buffer count for the BACKWARD kernels' grid-blocked inputs
+    # (pl.Buffered on x/cotangent/residual streams).  None = Mosaic's
+    # default double buffering.  Probe for the round-5 lever — the
+    # residual-READING backwards measure at 91-100% of their no-overlap
+    # compute+DMA bound (reads gate compute, BENCHMARKS.md round-5
+    # breakdown).  CLOSED on this toolchain: Mosaic rejects
+    # buffer_count > 2 at compile (tools/batch_scaling --axis bufs,
+    # round-5 on-chip A/B), so deeper prefetch is unavailable; the knob
+    # stays for a future Mosaic that lifts the cap.
+    bwd_bufs: Optional[int] = None
     # Eval/render forward kernel selection.  None = the measured default
     # (XLA; the fused kernels' win is backward activation traffic, see
     # render_rays_eval).  True/False forces the eval path onto/off the

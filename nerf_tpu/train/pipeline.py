@@ -171,7 +171,8 @@ def _apply_vanilla(nerf: VanillaNeRF, params, pos, dirs, cfg: PipelineConfig,
     enc_d = _ray_dir_encoding(
         nerf, jax.lax.stop_gradient(dirs)).astype(cd).reshape(r * p, -1)
     fused = ops.make_vanilla_fused(*_fused_kernel_args(cfg),
-                                   store_residuals=cfg.store_residuals)
+                                   store_residuals=cfg.store_residuals,
+                                   bwd_bufs=cfg.bwd_bufs)
     rgb3, sigma = fused(ops.vanilla_weights_from_params(params), enc_x, enc_d)
     return rgb3.reshape(3, r, p), sigma.reshape(r, p)
 
@@ -193,7 +194,8 @@ def _apply_prop(prop: ProposalNetwork, params, pts, cfg: PipelineConfig):
                                 store_residuals=(
                                     cfg.store_residuals
                                     if cfg.prop_store_residuals is None
-                                    else cfg.prop_store_residuals))
+                                    else cfg.prop_store_residuals),
+                                bwd_bufs=cfg.bwd_bufs)
     return fused(ops.prop_weights_from_params(params), enc).reshape(r, p)
 
 
@@ -312,7 +314,7 @@ def _ref_fine_forward_allkernel(nerf: RefNeRF, nerf_params, pos, dirs,
     fused = ops.make_ref_fused(
         cd, tile=tile, interpret=interpret, need_grad=need_grad,
         ide_level=nerf.ide_level, use_srgb=nerf.use_srgb,
-        store_residuals=cfg.store_residuals)
+        store_residuals=cfg.store_residuals, bwd_bufs=cfg.bwd_bufs)
     rgb3, density, normal3, dgrad3 = fused(ws, enc, dirs3, noise, pos=pos_f)
 
     # rgb AND normals stay ROW-LAND (3, R, P) out to the composite/losses —

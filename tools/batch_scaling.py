@@ -68,7 +68,7 @@ def main():
                     default=[1024, 4096, 16384])
     ap.add_argument("--axis", default="select",
                     choices=["select", "pallas", "residuals", "prop_res",
-                             "tile", "pe"],
+                             "tile", "pe", "bufs"],
                     help="'select': fused vs matmul endpoint selects; "
                          "'pallas': fused kernels vs the XLA path; "
                          "'residuals': residual-storing vs recompute-form "
@@ -81,9 +81,16 @@ def main():
                          "(re-measure tile limits after residual changes — "
                          "the 64 MB scoped-VMEM raise may admit 2048); "
                          "'pe': angle-doubling vs matmul+sin spatial PE "
-                         "(fastmath.cat_pos_pe)")
+                         "(fastmath.cat_pos_pe); "
+                         "'bufs': backward-kernel input pipeline buffer "
+                         "count sweep (pl.Buffered; 0 = Mosaic default) — "
+                         "probed the residual-read DMA overlap lever; "
+                         "CLOSED: this Mosaic rejects buffer_count > 2 "
+                         "at compile (round-5 on-chip A/B)")
     ap.add_argument("--tiles", type=int, nargs="+", default=[512, 1024, 2048],
                     help="tile values for --axis tile")
+    ap.add_argument("--bufs", type=int, nargs="+", default=[0, 3, 4],
+                    help="buffer counts for --axis bufs (0 = default)")
     args = ap.parse_args()
 
     from nerf_tpu.train.config import PipelineConfig
@@ -95,7 +102,8 @@ def main():
                 "residuals": ("resid", "recompute"),
                 "prop_res": ("resid", "recompute"),
                 "pe": ("dbl", "sin"),
-                "tile": tuple(str(t) for t in args.tiles)}[args.axis]
+                "tile": tuple(str(t) for t in args.tiles),
+                "bufs": tuple(str(b) for b in args.bufs)}[args.axis]
     rows = []
     for r in args.batches:
         for variant in variants:
@@ -115,6 +123,9 @@ def main():
             elif args.axis == "pe":
                 use_pallas = True
                 kw["pe_doubling"] = variant == "dbl"
+            elif args.axis == "bufs":
+                use_pallas = True
+                kw["bwd_bufs"] = int(variant) or None
             else:  # prop_res: fine stays residual-form, prop swings
                 use_pallas = True
                 kw["store_residuals"] = True

@@ -107,6 +107,13 @@ def main():
     ap.add_argument("--hw", type=int, default=400)
     ap.add_argument("--trace_dir", default=None,
                     help="keep the trace here (default: temp dir)")
+    ap.add_argument("--eval", action="store_true",
+                    help="trace ONE render_image frame (the eval path, "
+                         "lax.map-chunked) instead of the train scan — "
+                         "names the dominant cost inside the s/frame "
+                         "numbers (VERDICT r4 item 4)")
+    ap.add_argument("--chunk", type=int, default=4096,
+                    help="eval-mode render chunk")
     args = ap.parse_args()
 
     import jax
@@ -127,6 +134,54 @@ def main():
                          model=args.model, ref_kernels=args.ref_kernels)
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
+
+    if args.eval:
+        from nerf_tpu.core import rays as rays_lib
+        from nerf_tpu.train.pipeline import init_variables as init_v
+        from nerf_tpu.train.renderer import render_image
+
+        # --pallas auto = the model-dependent eval pin (render_rays_eval);
+        # on/off force the eval path via eval_use_pallas.
+        eval_cfg = cfg.replace(eval_use_pallas=use_pallas)
+        pose = rays_lib.pose_spherical(30.0, -30.0, 4.0)
+        hw = (args.hw, args.hw)
+        focal = rays_lib.fov_to_focal(0.6911112070083618, hw)
+        variables = init_v(eval_cfg, jax.random.PRNGKey(0))
+
+        def frame():
+            out = render_image(variables, pose, hw, focal, eval_cfg,
+                               chunk=args.chunk)
+            jax.block_until_ready(out["rgb"])
+            return out
+
+        t0 = time.perf_counter()
+        frame()
+        print(f"compile+first frame: {time.perf_counter() - t0:.1f}s",
+              file=sys.stderr)
+        t0 = time.perf_counter()
+        frame()
+        dt = time.perf_counter() - t0
+        print(f"steady-state: {dt * 1e3:.1f} ms/frame", file=sys.stderr)
+
+        trace_dir = args.trace_dir or tempfile.mkdtemp(prefix="nerf_trace_")
+        with jax.profiler.trace(trace_dir):
+            frame()
+        rows, total = parse_trace(trace_dir, 1)
+        print(f"\ntrace: {trace_dir}")
+        print(f"EVAL model={args.model} pallas={args.pallas} "
+              f"chunk={args.chunk} hw={args.hw}")
+        print(f"untraced frame: {dt * 1e3:.1f} ms; "
+              f"device-op total {total:.3f} ms/frame\n")
+        print(f"{'op':<72s} {'ms/frm':>9s} {'%':>6s}")
+        for name, ms, pct in rows[: args.top]:
+            print(f"{name[:72]:<72s} {ms:9.4f} {pct:6.2f}")
+        rest = rows[args.top:]
+        if rest:
+            ms = sum(r[1] for r in rest)
+            print(f"{'(+%d more)' % len(rest):<72s} {ms:9.4f} "
+                  f"{100.0 * ms / total:6.2f}")
+        return
+
     train, _, _ = make_synthetic_scene(n_train=20, n_test=1,
                                        hw=(args.hw, args.hw), seed=0,
                                        n_samples=96)
